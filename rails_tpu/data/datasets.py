@@ -1,0 +1,300 @@
+"""Host-side datasets: ragged user sequences -> fixed-shape device batches.
+
+Reference:
+  - `DatasetV2` (`/root/reference/data/dataset.py:23-181`): per-user
+    chronological sequences from sasrec_format.csv, leave-one-out split via
+    `ignore_last_n`, truncate-to-last-N / zero-pad.
+  - `get_reco_dataset` (`/root/reference/data/reco_dataset.py:39-160`).
+
+TPU shifts: sequences live in a flat (offsets, values) ragged store — the
+host-side mirror of the jagged layout — and batches are materialized as fixed
+shape int32 arrays. A synthetic clustered-preference generator stands in for
+the MovieLens/Amazon data when the raw files are unavailable (the mounted
+reference ships only git-LFS pointer stubs) and for scale benchmarks.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from rails_tpu.core.config import DataConfig
+from rails_tpu.data.features import Batch, batch_from_rows
+
+
+@dataclass
+class RaggedSequences:
+    """Flat ragged storage of chronological per-user event sequences."""
+
+    user_ids: np.ndarray     # (U,) int32
+    offsets: np.ndarray      # (U+1,) int64
+    item_ids: np.ndarray     # (total,) int32
+    ratings: np.ndarray      # (total,) int32
+    timestamps: np.ndarray   # (total,) int64
+
+    @property
+    def num_users(self) -> int:
+        return len(self.user_ids)
+
+    def sequence(self, u: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        s, e = self.offsets[u], self.offsets[u + 1]
+        return self.item_ids[s:e], self.ratings[s:e], self.timestamps[s:e]
+
+
+class SequenceDataset:
+    """Leave-one-out view over RaggedSequences (`dataset.py:63-181`)."""
+
+    def __init__(
+        self,
+        sequences: RaggedSequences,
+        max_sequence_length: int,
+        ignore_last_n: int,
+    ) -> None:
+        self._seqs = sequences
+        self._max_seq_len = max_sequence_length
+        self._ignore_last_n = ignore_last_n
+        # Users must retain >= 2 events (1 history + 1 target) after trimming.
+        lens = np.diff(sequences.offsets) - ignore_last_n
+        self._valid_users = np.nonzero(lens >= 2)[0]
+
+    def __len__(self) -> int:
+        return len(self._valid_users)
+
+    def rows(self, indices: np.ndarray):
+        """Materialize fixed-shape host arrays for a batch of example indices."""
+        n = self._max_seq_len
+        b = len(indices)
+        hist_ids = np.zeros((b, n), dtype=np.int32)
+        hist_ratings = np.zeros((b, n), dtype=np.int32)
+        hist_ts = np.zeros((b, n), dtype=np.int64)
+        lengths = np.zeros((b,), dtype=np.int32)
+        tgt_ids = np.zeros((b,), dtype=np.int32)
+        tgt_ratings = np.zeros((b,), dtype=np.int32)
+        tgt_ts = np.zeros((b,), dtype=np.int64)
+        user_ids = np.zeros((b,), dtype=np.int32)
+        for row, idx in enumerate(indices):
+            u = self._valid_users[idx]
+            ids, ratings, ts = self._seqs.sequence(u)
+            if self._ignore_last_n > 0:
+                ids = ids[: -self._ignore_last_n]
+                ratings = ratings[: -self._ignore_last_n]
+                ts = ts[: -self._ignore_last_n]
+            # Target is the final event; history is everything before it,
+            # truncated to the most recent max_seq_len events.
+            tgt_ids[row] = ids[-1]
+            tgt_ratings[row] = ratings[-1]
+            tgt_ts[row] = ts[-1]
+            h = ids[:-1][-n:]
+            lengths[row] = len(h)
+            hist_ids[row, : len(h)] = h
+            hist_ratings[row, : len(h)] = ratings[:-1][-n:]
+            hist_ts[row, : len(h)] = ts[:-1][-n:]
+            user_ids[row] = self._seqs.user_ids[u]
+        return (
+            lengths, hist_ids, hist_ratings, hist_ts,
+            tgt_ids, tgt_ratings, tgt_ts, user_ids,
+        )
+
+    def batches(
+        self,
+        batch_size: int,
+        max_output_length: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = False,
+        num_shards: int = 1,
+        shard_index: int = 0,
+    ) -> Iterator[Batch]:
+        """One epoch of device-ready batches.
+
+        `num_shards`/`shard_index` mirror DistributedSampler
+        (`/root/reference/trainer/data_loader.py:39-47`) for per-host sharding.
+        """
+        order = np.arange(len(self))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        order = order[shard_index::num_shards]
+        n_batches = len(order) // batch_size
+        rem = len(order) % batch_size
+        for i in range(n_batches):
+            idx = order[i * batch_size : (i + 1) * batch_size]
+            yield self._make_batch(idx, max_output_length)
+        if rem and not drop_last:
+            # Fixed-shape tail: wrap around to fill the batch (extra rows are
+            # duplicates; callers that care filter by example count).
+            idx = np.concatenate([order[n_batches * batch_size :],
+                                  order[: batch_size - rem]])
+            yield self._make_batch(idx, max_output_length)
+
+    def _make_batch(self, idx: np.ndarray, max_output_length: int) -> Batch:
+        (lengths, hist_ids, hist_ratings, hist_ts,
+         tgt_ids, tgt_ratings, tgt_ts, user_ids) = self.rows(idx)
+        return batch_from_rows(
+            lengths, hist_ids, hist_ratings, hist_ts,
+            tgt_ids, tgt_ratings, tgt_ts, user_ids,
+            max_output_length=max_output_length,
+        )
+
+
+@dataclass
+class RecoDataset:
+    """`RecoDataset` (`/root/reference/data/reco_dataset.py:29-38`)."""
+
+    max_sequence_length: int
+    num_unique_items: int
+    max_item_id: int
+    all_item_ids: np.ndarray     # (num_unique_items,) int32, ids > 0
+    train_dataset: SequenceDataset
+    eval_dataset: SequenceDataset
+
+
+def generate_synthetic_sequences(
+    num_users: int,
+    num_items: int,
+    max_len: int,
+    seed: int = 0,
+    num_clusters: int = 16,
+    min_len: int = 4,
+) -> RaggedSequences:
+    """Clustered-preference Markov sequences with learnable structure.
+
+    Each user has a home cluster; each item belongs to one cluster. Sequences
+    random-walk within the home cluster with occasional jumps, so both
+    sequence context and the user id are predictive — exercising the HSTU
+    encoder and the MoL uid components.
+    """
+    rng = np.random.default_rng(seed)
+    item_cluster = rng.integers(0, num_clusters, size=num_items)
+    cluster_items = [np.nonzero(item_cluster == c)[0] + 1 for c in range(num_clusters)]
+    lengths = rng.integers(min_len, max_len + 1, size=num_users)
+    offsets = np.zeros(num_users + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    total = int(offsets[-1])
+    item_ids = np.zeros(total, dtype=np.int32)
+    ratings = rng.integers(1, 6, size=total).astype(np.int32)
+    timestamps = np.zeros(total, dtype=np.int64)
+    base_time = 1_000_000_000
+    for u in range(num_users):
+        home = u % num_clusters
+        pool = cluster_items[home]
+        if len(pool) == 0:
+            pool = np.arange(1, num_items + 1)
+        L = lengths[u]
+        jumps = rng.random(L) < 0.1
+        picks = pool[rng.integers(0, len(pool), size=L)]
+        noise = rng.integers(1, num_items + 1, size=L).astype(np.int32)
+        seq = np.where(jumps, noise, picks).astype(np.int32)
+        s = offsets[u]
+        item_ids[s : s + L] = seq
+        timestamps[s : s + L] = base_time + u + np.cumsum(
+            rng.integers(60, 600_000, size=L)
+        )
+    return RaggedSequences(
+        user_ids=np.arange(num_users, dtype=np.int32),
+        offsets=offsets,
+        item_ids=item_ids,
+        ratings=ratings,
+        timestamps=timestamps,
+    )
+
+
+def load_sasrec_format_csv(path: str, shift_id_by: int = 0) -> RaggedSequences:
+    """Parse the reference's sasrec_format.csv
+    (user_id, sequence_item_ids, sequence_ratings, sequence_timestamps —
+    each a stringified int list; `preprocessor.py:254-275`)."""
+    import csv
+
+    if _is_lfs_stub(path):
+        raise FileNotFoundError(
+            f"{path} is a git-LFS pointer stub, not real data; run "
+            "`python -m rails_tpu.cli.preprocess` with network access or "
+            "use the synthetic dataset."
+        )
+    user_ids: List[int] = []
+    flat_ids: List[np.ndarray] = []
+    flat_ratings: List[np.ndarray] = []
+    flat_ts: List[np.ndarray] = []
+    lengths: List[int] = []
+    with open(path, newline="") as f:
+        reader = csv.DictReader(f)
+        for rec in reader:
+            ids = np.fromstring(
+                rec["sequence_item_ids"].strip("[]()"), dtype=np.int64, sep=","
+            )
+            rts = np.fromstring(
+                rec["sequence_ratings"].strip("[]()"), dtype=np.int64, sep=","
+            )
+            ts = np.fromstring(
+                rec["sequence_timestamps"].strip("[]()"), dtype=np.int64, sep=","
+            )
+            user_ids.append(int(rec["user_id"]))
+            flat_ids.append(ids + shift_id_by)
+            flat_ratings.append(rts)
+            flat_ts.append(ts)
+            lengths.append(len(ids))
+    offsets = np.zeros(len(user_ids) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    return RaggedSequences(
+        user_ids=np.asarray(user_ids, dtype=np.int32),
+        offsets=offsets,
+        item_ids=np.concatenate(flat_ids).astype(np.int32),
+        ratings=np.concatenate(flat_ratings).astype(np.int32),
+        timestamps=np.concatenate(flat_ts).astype(np.int64),
+    )
+
+
+def _is_lfs_stub(path: str) -> bool:
+    try:
+        with open(path, "rb") as f:
+            return f.read(64).startswith(b"version https://git-lfs")
+    except OSError:
+        return True
+
+
+_DATASET_FILES = {
+    # name -> (csv relpath, shift_id_by, expected_max_item_id or None)
+    "ml-1m": ("tmp/ml-1m/sasrec_format.csv", 0, 3952),
+    "ml-20m": ("tmp/ml-20m/sasrec_format.csv", 0, 131262),
+    "amzn-books": ("tmp/amzn_books/sasrec_format.csv", 1, None),
+}
+
+
+def get_reco_dataset(
+    cfg: DataConfig, data_root: str = "."
+) -> RecoDataset:
+    """Build train (ignore_last_n=1) / eval (ignore_last_n=0) datasets.
+
+    Reference: `get_reco_dataset` (`reco_dataset.py:39-160`); amzn-books ids
+    are shifted +1 so 0 stays the padding id (`reco_dataset.py:81-89`).
+    """
+    if cfg.dataset_name == "synthetic":
+        seqs = generate_synthetic_sequences(
+            num_users=cfg.synthetic_num_users,
+            num_items=cfg.synthetic_num_items,
+            max_len=min(cfg.max_sequence_length + 2, 64),
+            seed=cfg.synthetic_seed,
+        )
+        max_item_id = cfg.synthetic_num_items
+    elif cfg.dataset_name in _DATASET_FILES:
+        rel, shift, expected_max = _DATASET_FILES[cfg.dataset_name]
+        seqs = load_sasrec_format_csv(os.path.join(data_root, rel), shift_id_by=shift)
+        max_item_id = int(seqs.item_ids.max())
+        if expected_max is not None:
+            max_item_id = max(max_item_id, expected_max)
+    else:
+        raise ValueError(f"Unknown dataset {cfg.dataset_name!r}")
+
+    all_item_ids = np.unique(seqs.item_ids)
+    all_item_ids = all_item_ids[all_item_ids > 0].astype(np.int32)
+    assert int(all_item_ids.min()) > 0
+    return RecoDataset(
+        max_sequence_length=cfg.max_sequence_length,
+        num_unique_items=len(all_item_ids),
+        max_item_id=max_item_id,
+        all_item_ids=all_item_ids,
+        train_dataset=SequenceDataset(seqs, cfg.max_sequence_length, ignore_last_n=1),
+        eval_dataset=SequenceDataset(seqs, cfg.max_sequence_length, ignore_last_n=0),
+    )

@@ -1,0 +1,62 @@
+"""Sequential batch features as a JAX pytree.
+
+Reference: `SequentialFeatures` + `movielens_seq_features_from_row`
+(`/root/reference/modeling/sequential/features.py:26-108`). Fixed shapes, int32
+everywhere (TPU-friendly); the generative-output padding slots and the
+target-timestamp scatter are applied on the host before the batch is donated
+to the device.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+
+class SequentialFeatures(NamedTuple):
+    lengths: jnp.ndarray       # (B,) int32, > 0
+    ids: jnp.ndarray           # (B, N) int32, 0 = padding
+    timestamps: jnp.ndarray    # (B, N) int32
+    ratings: jnp.ndarray       # (B, N) int32
+    user_ids: jnp.ndarray      # (B,) int32
+
+
+class Batch(NamedTuple):
+    features: SequentialFeatures
+    target_ids: jnp.ndarray       # (B,) int32
+    target_ratings: jnp.ndarray   # (B,) int32
+
+
+def batch_from_rows(
+    historical_lengths: np.ndarray,     # (B,)
+    historical_ids: np.ndarray,         # (B, max_seq_len)
+    historical_ratings: np.ndarray,
+    historical_timestamps: np.ndarray,
+    target_ids: np.ndarray,             # (B,)
+    target_ratings: np.ndarray,
+    target_timestamps: np.ndarray,
+    user_ids: np.ndarray,
+    max_output_length: int,
+) -> Batch:
+    """Pads +max_output_length slots and scatters the target timestamp at
+    position `length` (`features.py:56-87`)."""
+    b, n = historical_ids.shape
+    pad = np.zeros((b, max_output_length), dtype=historical_ids.dtype)
+    ids = np.concatenate([historical_ids, pad], axis=1)
+    ratings = np.concatenate([historical_ratings, pad], axis=1)
+    ts = np.concatenate([historical_timestamps, pad], axis=1)
+    ts[np.arange(b), historical_lengths] = target_timestamps
+    feats = SequentialFeatures(
+        lengths=jnp.asarray(historical_lengths, dtype=jnp.int32),
+        ids=jnp.asarray(ids, dtype=jnp.int32),
+        timestamps=jnp.asarray(ts, dtype=jnp.int32),
+        ratings=jnp.asarray(ratings, dtype=jnp.int32),
+        user_ids=jnp.asarray(user_ids, dtype=jnp.int32),
+    )
+    return Batch(
+        features=feats,
+        target_ids=jnp.asarray(target_ids, dtype=jnp.int32),
+        target_ratings=jnp.asarray(target_ratings, dtype=jnp.int32),
+    )

@@ -1,0 +1,128 @@
+"""Sampled-softmax autoregressive loss, dense-masked TPU formulation.
+
+Reference: `/root/reference/modeling/sequential/losses/sampled_softmax.py:30-195`.
+
+The reference converts [B, N] supervision to jagged [N'] via fbgemm and scores
+positives + R sampled negatives through the model's similarity function. Here
+all positions stay dense [B, N-1] and invalid positions carry zero supervision
+weight — the weighted mean and the aux losses (which thread the same weights
+into the MoL module) are numerically identical to the jagged computation.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rails_tpu.data.features import SequentialFeatures
+from rails_tpu.losses.samplers import (
+    InBatchNegativesSampler,
+    LocalNegativesSampler,
+    maybe_l2_norm,
+)
+from rails_tpu.models.preprocessors import length_mask
+
+AuxLosses = Dict[str, jnp.ndarray]
+
+
+def sampled_softmax_loss(
+    model,                                   # bound SequentialRecommender
+    features: SequentialFeatures,            # target already scattered at [len]
+    sampler,                                 # LocalNegativesSampler | (InBatch..., state)
+    num_negatives: int,
+    softmax_temperature: float,
+    train: bool = True,
+) -> Tuple[jnp.ndarray, AuxLosses]:
+    """Returns (scalar loss, aux losses).
+
+    Mirrors `SampledSoftmaxLoss.jagged_forward`
+    (`losses/sampled_softmax.py:46-89`) with dense masking:
+      - queries: encoder outputs at positions [0, N-2]
+      - supervision: ids/embeddings at positions [1, N-1]
+      - weights: 1 where supervised (position < length and id != 0)
+      - accidental negatives (sampled id == positive id) masked to -5e4.
+    """
+    ids = features.ids
+    b, n = ids.shape
+    d = model.cfg.train.item_embedding_dim
+
+    input_embeddings = model.get_item_embeddings(ids)             # (B, N, D)
+    seq_embeddings = model.encode_sequence(features, train=train)  # (B, N, D)
+
+    output_embeddings = seq_embeddings[:, :-1, :]                  # queries
+    supervision_ids = ids[:, 1:]                                   # (B, N-1)
+    supervision_embeddings = input_embeddings[:, 1:, :]
+    # ar_mask (`train.py:422`) AND jagged validity (position < length).
+    weights = (
+        (supervision_ids != 0) & length_mask(features.lengths, n - 1)
+    ).astype(jnp.float32)                                          # (B, N-1)
+
+    m = b * (n - 1)
+    q = output_embeddings.reshape(m, d)
+    w_flat = weights.reshape(m)
+    sup_ids_flat = supervision_ids.reshape(m)
+    user_ids_flat = jnp.repeat(features.user_ids, n - 1)           # (M,)
+
+    if isinstance(sampler, LocalNegativesSampler):
+        rng = model.make_rng("sampler")
+        sampled_ids = sampler.sample(rng, (m, num_negatives))
+        sampled_neg_embeddings = maybe_l2_norm(
+            model.get_item_embeddings(sampled_ids), sampler.l2_norm,
+            sampler.l2_norm_eps,
+        )
+        pos_embeddings = maybe_l2_norm(
+            supervision_embeddings.reshape(m, d), sampler.l2_norm,
+            sampler.l2_norm_eps,
+        )
+    else:
+        in_batch_sampler, state = sampler
+        assert isinstance(in_batch_sampler, InBatchNegativesSampler)
+        rng = model.make_rng("sampler")
+        sampled_ids, sampled_neg_embeddings = in_batch_sampler.sample(
+            state, rng, (m, num_negatives)
+        )
+        pos_embeddings = maybe_l2_norm(
+            supervision_embeddings.reshape(m, d), in_batch_sampler.l2_norm,
+            in_batch_sampler.l2_norm_eps,
+        )
+
+    positive_logits, aux_losses = model.similarity_fn(
+        q,                                   # (M, D)
+        pos_embeddings[:, None, :],          # (M, 1, D)
+        user_ids=user_ids_flat,
+        train=train,
+        weights=w_flat,
+    )
+    positive_logits = positive_logits / softmax_temperature        # (M, 1)
+
+    negative_logits, _ = model.similarity_fn(
+        q,
+        sampled_neg_embeddings,              # (M, R, D)
+        user_ids=user_ids_flat,
+        train=train,
+        weights=w_flat,
+    )
+    negative_logits = jnp.where(
+        sup_ids_flat[:, None] == sampled_ids,
+        -5e4,
+        negative_logits / softmax_temperature,
+    )                                                              # (M, R)
+
+    all_logits = jnp.concatenate([positive_logits, negative_logits], axis=1)
+    per_position = -jax.nn.log_softmax(all_logits, axis=1)[:, 0]   # (M,)
+    loss = jnp.sum(per_position * w_flat) / jnp.maximum(jnp.sum(w_flat), 1e-12)
+    return loss, aux_losses
+
+
+def get_weighted_loss(
+    main_loss: jnp.ndarray,
+    aux_losses: AuxLosses,
+    weights: Dict[str, float],
+) -> jnp.ndarray:
+    """`get_weighted_loss` (`/root/reference/train.py:95-105`)."""
+    total = main_loss
+    for key, weight in weights.items():
+        total = total + aux_losses[key] * weight
+    return total

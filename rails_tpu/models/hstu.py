@@ -1,0 +1,187 @@
+"""HSTU (Hierarchical Sequential Transduction Unit) encoder, TPU-native.
+
+Reference: `/root/reference/modeling/sequential/hstu.py` (arXiv 2402.17152).
+Semantics preserved:
+  - fused uvqk projection + SiLU (`hstu.py:312-327`)
+  - pointwise SiLU attention normalized by 1/n — not softmax (`hstu.py:196-204`)
+  - relative position + bucketized time-delta attention bias (`hstu.py:81-138`)
+  - u * LayerNorm(attention) gating, output proj + residual (`hstu.py:403-423`)
+
+TPU shifts:
+  - fbgemm jagged tensors -> fixed-shape (B, N, D) + (B, N) validity masks
+    (the (B, N, N) attention mask combines causality with column validity,
+    replacing dense_to_jagged / jagged_to_padded_dense round-trips);
+  - everything is traced once under jit with static shapes; the N<=261
+    attention fits VMEM tiles directly, XLA fuses silu+mask+scale into the
+    attention matmuls.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from rails_tpu.core.config import HSTUConfig
+
+
+def _bucketize_time_delta(delta: jnp.ndarray, num_buckets: int) -> jnp.ndarray:
+    """log(|delta| clamped to >=1) / 0.301, truncated, clipped to [0, buckets].
+
+    Reference bucketization_fn: `hstu.py:600-602`.
+    """
+    v = jnp.log(jnp.maximum(jnp.abs(delta).astype(jnp.float32), 1.0)) / 0.301
+    return jnp.clip(v.astype(jnp.int32), 0, num_buckets)
+
+
+class RelativeBucketedTimeAndPositionBias(nn.Module):
+    """rel-position bias + bucketized time-delta bias, (B, N, N).
+
+    Reference: `RelativeBucketedTimeAndPositionBasedBias`
+    (`hstu.py:81-138`). The reference materializes the position bias with a
+    pad/repeat/reshape skew trick; a direct gather `w[j - i + N - 1]` is
+    equivalent and XLA-friendly.
+    """
+
+    max_seq_len: int
+    num_buckets: int = 128
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, timestamps: jnp.ndarray) -> jnp.ndarray:  # (B, N) int
+        n = self.max_seq_len
+        pos_w = self.param(
+            "pos_w", nn.initializers.normal(stddev=0.02), (2 * n - 1,)
+        )
+        ts_w = self.param(
+            "ts_w", nn.initializers.normal(stddev=0.02), (self.num_buckets + 1,)
+        )
+        i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        rel_pos_bias = pos_w[j - i + n - 1]  # (N, N)
+
+        # ext[t] appends the last timestamp; bias(i, j) uses
+        # ts(i+1) - ts(j): the time gap between the *next* item at the query
+        # position and item j (`hstu.py:122-133`).
+        ext = jnp.concatenate([timestamps, timestamps[:, n - 1 : n]], axis=1)
+        delta = ext[:, 1:, None] - ext[:, None, :-1]  # (B, N, N)
+        buckets = _bucketize_time_delta(delta, self.num_buckets)
+        rel_ts_bias = ts_w[buckets]
+        return (rel_pos_bias[None] + rel_ts_bias).astype(self.dtype)
+
+
+class HSTUBlock(nn.Module):
+    """One sequential transduction unit (`SequentialTransductionUnitJagged`,
+    `hstu.py:218-433`)."""
+
+    cfg: HSTUConfig
+    max_seq_len: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,                 # (B, N, D)
+        attn_mask: jnp.ndarray,         # (B, N, N) float {0,1}: causal * col-valid
+        timestamps: Optional[jnp.ndarray],  # (B, N) int or None
+        train: bool = False,
+    ) -> jnp.ndarray:
+        c = self.cfg
+        b, n, d = x.shape
+        h, dqk, dv = c.num_heads, c.dqk, c.dv
+
+        def _ln(y, dim):
+            mu = jnp.mean(y, axis=-1, keepdims=True)
+            var = jnp.var(y, axis=-1, keepdims=True)
+            return (y - mu) * jax.lax.rsqrt(var + c.epsilon)
+
+        normed_x = _ln(x, d)
+        uvqk_w = self.param(
+            "uvqk",
+            nn.initializers.normal(stddev=0.02),
+            (d, h * dv * 2 + h * dqk * 2),
+        )
+        y = jnp.einsum(
+            "bnd,df->bnf", normed_x, uvqk_w.astype(self.dtype),
+            preferred_element_type=self.dtype,
+        )
+        if c.linear_activation == "silu":
+            y = jax.nn.silu(y)
+        elif c.linear_activation != "none":
+            raise ValueError(f"Unknown linear_activation {c.linear_activation!r}")
+        u, v, q, k = jnp.split(
+            y, [h * dv, 2 * h * dv, 2 * h * dv + h * dqk], axis=-1
+        )
+
+        qh = q.reshape(b, n, h, dqk)
+        kh = k.reshape(b, n, h, dqk)
+        vh = v.reshape(b, n, h, dv)
+        qk = jnp.einsum(
+            "bnhd,bmhd->bhnm", qh, kh, preferred_element_type=self.dtype
+        )
+        if timestamps is not None and c.enable_relative_attention_bias:
+            bias = RelativeBucketedTimeAndPositionBias(
+                max_seq_len=self.max_seq_len,
+                num_buckets=c.num_time_buckets,
+                dtype=self.dtype,
+                name="rel_attn_bias",
+            )(timestamps)
+            qk = qk + bias[:, None, :, :]
+
+        if c.normalization in ("rel_bias", "hstu_rel_bias"):
+            # Pointwise SiLU attention, normalized by the constant 1/n
+            # (`hstu.py:203`), then masked.
+            attn = jax.nn.silu(qk) * (1.0 / n)
+            attn = attn * attn_mask[:, None, :, :].astype(attn.dtype)
+        elif c.normalization == "softmax_rel_bias":
+            attn = jax.nn.softmax(qk / jnp.sqrt(float(dqk)).astype(qk.dtype), axis=-1)
+            attn = attn * attn_mask[:, None, :, :].astype(attn.dtype)
+        else:
+            raise ValueError(f"Unknown normalization {c.normalization!r}")
+
+        attn_out = jnp.einsum(
+            "bhnm,bmhd->bnhd", attn, vh, preferred_element_type=self.dtype
+        ).reshape(b, n, h * dv)
+
+        o_input = u * _ln(attn_out, h * dv)
+        o_input = nn.Dropout(c.linear_dropout_rate, deterministic=not train)(o_input)
+        out = nn.Dense(
+            d,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=nn.initializers.zeros_init(),
+            name="o",
+        )(o_input)
+        return out + x
+
+
+class HSTUStack(nn.Module):
+    """Stack of HSTU blocks (`HSTUJagged`, `hstu.py:436-530`)."""
+
+    cfg: HSTUConfig
+    max_seq_len: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        valid: jnp.ndarray,              # (B, N) bool
+        timestamps: Optional[jnp.ndarray],
+        train: bool = False,
+    ) -> jnp.ndarray:
+        b, n, _ = x.shape
+        causal = jnp.tril(jnp.ones((n, n), dtype=jnp.float32))
+        attn_mask = causal[None] * valid[:, None, :].astype(jnp.float32)
+        for layer_idx in range(self.cfg.num_blocks):
+            x = HSTUBlock(
+                cfg=self.cfg,
+                max_seq_len=self.max_seq_len,
+                dtype=self.dtype,
+                name=f"block_{layer_idx}",
+            )(x, attn_mask, timestamps, train=train)
+        # Reference round-trips through jagged_to_padded_dense at the end,
+        # zeroing padded rows (`hstu.py:524-529`).
+        return x * valid[..., None].astype(x.dtype)

@@ -22,8 +22,9 @@ class DotProductSimilarity(nn.Module):
         item_embeddings: jnp.ndarray,     # (1, X, D) or (B, X, D)
         user_ids: Optional[jnp.ndarray] = None,
         train: bool = False,
+        weights: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-        del user_ids, train
+        del user_ids, train, weights
         q = query_embeddings.astype(self.dtype)
         i = item_embeddings.astype(self.dtype)
         if i.shape[0] == 1:

@@ -26,8 +26,12 @@ def l2_normalize(x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
     Matches the clamp-based normalization used throughout the reference
     (e.g. `/root/reference/rails/similarities/mol/item_embeddings_fns.py:173-182`).
     """
-    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True))
-    return x / jnp.maximum(norm, eps)
+    # sqrt(max(sq, eps^2)) == max(||x||, eps) in the forward pass, but keeps
+    # the backward pass finite at x == 0 (d sqrt/d sq at 0 is inf; padding
+    # rows of the item table are exactly zero and 0 * inf = NaN would poison
+    # every gradient).
+    sq = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
+    return x / jnp.sqrt(jnp.maximum(sq, eps * eps))
 
 
 class GLU(nn.Module):

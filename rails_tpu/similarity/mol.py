@@ -39,17 +39,34 @@ from rails_tpu.similarity.layers import (
 AuxLosses = Dict[str, jnp.ndarray]
 
 
-def load_balancing_mi_loss(gating_prs: jnp.ndarray, eps: float) -> jnp.ndarray:
+def load_balancing_mi_loss(
+    gating_prs: jnp.ndarray,
+    eps: float,
+    weights: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
     """-H(mean_pi) + mean(H_example) over (B, X, L) gating probabilities.
 
     Reference: `_load_balancing_mi_loss_fn`
     (`/root/reference/rails/similarities/mol/similarity_fn.py:49-63`).
+
+    `weights` (B,) masks/weights rows: the reference computes this loss over
+    jagged (valid-only) positions; the dense TPU layout includes padded rows,
+    which are excluded via zero weight so the value matches exactly.
     """
     b, x, l = gating_prs.shape
-    flat = gating_prs.reshape(b * x, l)
-    util = flat.sum(axis=0) / (b * x)
+    if weights is None:
+        flat = gating_prs.reshape(b * x, l)
+        denom = b * x
+        util = flat.sum(axis=0) / denom
+        per_example_entropy = -jnp.sum(flat * jnp.log(flat + eps)) / denom
+    else:
+        w = weights.astype(gating_prs.dtype)[:, None, None]     # (B, 1, 1)
+        denom = jnp.maximum(jnp.sum(weights) * x, 1e-12)
+        util = jnp.sum(gating_prs * w, axis=(0, 1)) / denom
+        per_example_entropy = (
+            -jnp.sum(gating_prs * jnp.log(gating_prs + eps) * w) / denom
+        )
     util_entropy = -jnp.sum(util * jnp.log(util + eps))
-    per_example_entropy = -jnp.sum(flat * jnp.log(flat + eps)) / (b * x)
     return -util_entropy + per_example_entropy
 
 
@@ -137,6 +154,7 @@ class MoLSimilarity(nn.Module):
         query_embeddings: jnp.ndarray,            # (B, D)
         user_ids: Optional[jnp.ndarray] = None,   # (B,) int
         train: bool = False,
+        weights: Optional[jnp.ndarray] = None,    # (B,) aux-loss row weights
     ) -> Tuple[jnp.ndarray, AuxLosses]:
         """(B, D) -> (B, P_Q, d_P) with uid components appended.
 
@@ -161,7 +179,13 @@ class MoLSimilarity(nn.Module):
             ):
                 u = emb((user_ids % hash_size) + 1)    # (B, d_P)
                 if train:
-                    l2 = jnp.mean(jnp.sum(u * u, axis=-1))
+                    sq = jnp.sum(u * u, axis=-1)
+                    if weights is None:
+                        l2 = jnp.mean(sq)
+                    else:
+                        l2 = jnp.sum(sq * weights) / jnp.maximum(
+                            jnp.sum(weights), 1e-12
+                        )
                     aux["uid_embedding_l2_norm"] = (
                         aux.get("uid_embedding_l2_norm", 0.0) + l2
                     )
@@ -227,6 +251,7 @@ class MoLSimilarity(nn.Module):
         query_partial: Optional[jnp.ndarray],      # (B, 1, L)
         item_partial: Optional[jnp.ndarray],       # (1/B, X, L)
         train: bool,
+        weights: Optional[jnp.ndarray] = None,     # (B,) aux-loss row weights
     ) -> Tuple[jnp.ndarray, AuxLosses]:
         """Gating-MLP combination + softmax-dropout combiner.
 
@@ -268,7 +293,7 @@ class MoLSimilarity(nn.Module):
         combined = jnp.sum(pi * logits.astype(jnp.float32), axis=-1)
         aux: AuxLosses = {}
         if train:
-            aux["mi_loss"] = load_balancing_mi_loss(pi, eps=c.eps)
+            aux["mi_loss"] = load_balancing_mi_loss(pi, eps=c.eps, weights=weights)
         return combined, aux
 
     # ------------------------------------------------------------------ #
@@ -281,6 +306,7 @@ class MoLSimilarity(nn.Module):
         item_embeddings: jnp.ndarray,              # (1, X, D') or (B, X, D')
         user_ids: Optional[jnp.ndarray] = None,
         train: bool = False,
+        weights: Optional[jnp.ndarray] = None,     # (B,) aux-loss row weights
     ) -> Tuple[jnp.ndarray, AuxLosses]:
         """Scores (B, X) + aux losses. Reference: `MoLSimilarity.forward`
         (`similarity_fn.py:341-413`)."""
@@ -289,7 +315,7 @@ class MoLSimilarity(nn.Module):
         b_prime, x = item_embeddings.shape[0], item_embeddings.shape[1]
 
         q_comp, q_aux = self.query_components(
-            query_embeddings, user_ids=user_ids, train=train
+            query_embeddings, user_ids=user_ids, train=train, weights=weights
         )
         i_comp = self.item_components(item_embeddings, train=train)
 
@@ -312,7 +338,9 @@ class MoLSimilarity(nn.Module):
         )
         item_partial = self.item_gating_partial(item_embeddings, train=train)
 
-        scores, gate_aux = self._combine(logits, query_partial, item_partial, train)
+        scores, gate_aux = self._combine(
+            logits, query_partial, item_partial, train, weights=weights
+        )
         return scores, {**gate_aux, **q_aux}
 
     def score_precomputed(

@@ -1,0 +1,154 @@
+"""Training loop: a single jitted train step + host epoch driver.
+
+Reference: `train_fn` (`/root/reference/train.py:109-571`).
+
+TPU shifts:
+  - DDP/NCCL (`train.py:83-92,290`) is replaced by a single `jit` with the
+    batch sharded over the mesh's data axis and parameters replicated; XLA
+    inserts the gradient all-reduce collectives automatically;
+  - the optimizer is optax AdamW (betas 0.9/0.98, matching `train.py:293-298`)
+    with the same optional linear warmup (`train.py:439-446`);
+  - the target-id scatter into the sequence (`train.py:394-398`) happens
+    inside the jitted step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from rails_tpu.core.config import ExperimentConfig
+from rails_tpu.data.features import Batch, SequentialFeatures
+from rails_tpu.losses.samplers import InBatchNegativesSampler, LocalNegativesSampler
+from rails_tpu.losses.sampled_softmax import get_weighted_loss, sampled_softmax_loss
+from rails_tpu.models.encoder import SequentialRecommender
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
+    t = cfg.train
+    if t.num_warmup_steps > 0:
+        schedule = optax.linear_schedule(
+            init_value=t.learning_rate / t.num_warmup_steps,
+            end_value=t.learning_rate,
+            transition_steps=t.num_warmup_steps,
+        )
+    else:
+        schedule = t.learning_rate
+    return optax.adamw(
+        learning_rate=schedule,
+        b1=t.beta1,
+        b2=t.beta2,
+        eps=1e-8,
+        weight_decay=t.weight_decay,
+    )
+
+
+def scatter_target(features: SequentialFeatures, target_ids: jnp.ndarray) -> SequentialFeatures:
+    """Place the target id at position `length` (`train.py:394-398`)."""
+    b = features.ids.shape[0]
+    ids = features.ids.at[jnp.arange(b), features.lengths].set(target_ids)
+    return features._replace(ids=ids)
+
+
+def init_model(
+    cfg: ExperimentConfig, num_items: int, rng: jax.Array, sample_batch: Batch
+) -> Tuple[SequentialRecommender, Any]:
+    model = SequentialRecommender(cfg=cfg, num_items=num_items)
+    feats = scatter_target(sample_batch.features, sample_batch.target_ids)
+    params = model.init(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1),
+         "sampler": jax.random.fold_in(rng, 2)},
+        feats,
+        _make_sampler(cfg, num_items, np.arange(1, num_items + 1, dtype=np.int32)),
+        cfg.train.num_negatives,
+        cfg.train.temperature,
+        True,
+        method=sampled_softmax_loss,
+    )
+    return model, params
+
+
+def _make_sampler(cfg: ExperimentConfig, num_items: int, all_item_ids: np.ndarray):
+    t = cfg.train
+    if t.sampling_strategy == "local":
+        return LocalNegativesSampler(
+            all_item_ids=jnp.asarray(all_item_ids, dtype=jnp.int32),
+            l2_norm=t.item_l2_norm,
+            l2_norm_eps=t.l2_norm_eps,
+        )
+    raise NotImplementedError(
+        f"sampling_strategy {t.sampling_strategy!r} not wired into the train "
+        "loop yet (in-batch is available via losses.samplers)."
+    )
+
+
+def make_train_step(
+    cfg: ExperimentConfig,
+    model: SequentialRecommender,
+    optimizer: optax.GradientTransformation,
+    sampler,
+) -> Callable:
+    loss_weights = dict(cfg.train.loss_weights)
+
+    def train_step(
+        state: TrainState, batch: Batch, rng: jax.Array
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        features = scatter_target(batch.features, batch.target_ids)
+        dropout_rng, sampler_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+
+        def loss_fn(params):
+            main_loss, aux = model.apply(
+                params,
+                features,
+                sampler,
+                cfg.train.num_negatives,
+                cfg.train.temperature,
+                True,
+                method=sampled_softmax_loss,
+                rngs={"dropout": dropout_rng, "sampler": sampler_rng},
+            )
+            total = get_weighted_loss(main_loss, aux, loss_weights)
+            return total, (main_loss, aux)
+
+        (total, (main_loss, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": main_loss, "loss_incl_aux": total}
+        metrics.update({f"aux/{k}": v for k, v in aux.items()})
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+def create_train_state(
+    cfg: ExperimentConfig,
+    num_items: int,
+    all_item_ids: np.ndarray,
+    sample_batch: Batch,
+    seed: Optional[int] = None,
+):
+    """Returns (model, state, train_step, sampler)."""
+    seed = cfg.train.random_seed if seed is None else seed
+    rng = jax.random.PRNGKey(seed)
+    model, params = init_model(cfg, num_items, rng, sample_batch)
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    state = TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+    sampler = _make_sampler(cfg, num_items, all_item_ids)
+    train_step = jax.jit(
+        make_train_step(cfg, model, optimizer, sampler), donate_argnums=(0,)
+    )
+    return model, state, train_step, sampler
