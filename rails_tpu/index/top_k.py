@@ -1,0 +1,245 @@
+"""Exact and approximate top-K retrieval over a MoL / MIPS candidate corpus.
+
+Reference: `/root/reference/rails/indexing/mol_top_k.py` and
+`/root/reference/rails/indexing/mips_top_k.py:24-81`.
+
+Algorithms (names preserved):
+  - MoLBruteForceTopK  — score all X items with exact MoL, `lax.top_k`.
+  - MoLNaiveTopK       — per-(P_Q x P_X) component dot-product top-k_per_group,
+                         union, dedup, exact MoL rerank (`mol_top_k.py:133-293`).
+  - MoLAvgTopK         — average-component-embedding MIPS prefilter, exact MoL
+                         rerank (`mol_top_k.py:296-429`).
+  - MoLCombTopK        — union of Naive + Avg candidates, one rerank
+                         (`mol_top_k.py:432-551`).
+  - MIPSBruteForceTopK — dot-product baseline.
+
+TPU shifts:
+  - FAISS IVFFlat (`mol_top_k.py:176-201`) is replaced by brute-force
+    component scans: at TPU HBM bandwidth a fused (B,d_P)x(d_P,X) matmul +
+    `lax.top_k` is competitive and exact, and it shards over an ICI mesh
+    (see `rails_tpu/index/sharded.py`).
+  - The reference returns the full candidate union instead of k
+    (`mol_top_k.py:260,286` — a known quirk); here every module returns
+    exactly `min(k, pool)` candidates, statically shaped.
+  - Item-side tables (component embeddings, gating partials) are precomputed
+    once per corpus (bf16-able) — the decoupled-inference path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rails_tpu.similarity.mol import MoLItemTables
+
+NEG_DUP = -32767.0
+
+
+class TopKResult(NamedTuple):
+    scores: jnp.ndarray   # (B, K)
+    ids: jnp.ndarray      # (B, K)
+
+
+class MoLTopKState(NamedTuple):
+    """Device-resident corpus state shared by all MoL top-k algorithms.
+
+    Mirrors `MoLTopKModule.__init__` (`mol_top_k.py:29-77`): raw item
+    embeddings, ids, and the pre-materialized component-level table.
+    """
+
+    item_ids: jnp.ndarray            # (X,) int32
+    item_tables: MoLItemTables       # components (X, P_X, d_P) + gating (X, L)
+    avg_component: jnp.ndarray       # (X, d_P): mean over P_X components
+
+
+def build_mol_topk_state(
+    model, params, item_ids: jnp.ndarray, item_embeddings: jnp.ndarray,
+    table_dtype: jnp.dtype = jnp.bfloat16,
+) -> MoLTopKState:
+    """Precompute item-side tables for a corpus (X, D).
+
+    `table_dtype=bfloat16` matches the reference's bf16 component table
+    (`mol_top_k.py:61-73`); the rerank itself runs through the model dtype.
+    """
+    tables = model.apply(params, item_embeddings, method=model.build_item_tables)
+    comp = tables.component_embeddings
+    avg = comp.mean(axis=1)
+    return MoLTopKState(
+        item_ids=item_ids.astype(jnp.int32),
+        item_tables=MoLItemTables(
+            component_embeddings=comp.astype(table_dtype),
+            gating_partial=(
+                tables.gating_partial.astype(table_dtype)
+                if tables.gating_partial is not None else None
+            ),
+        ),
+        avg_component=avg.astype(table_dtype),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Exact algorithms.
+# --------------------------------------------------------------------- #
+
+
+def mol_brute_force_top_k(
+    model, params, state: MoLTopKState,
+    query_embeddings: jnp.ndarray,            # (B, D)
+    k: int,
+    user_ids: Optional[jnp.ndarray] = None,
+) -> TopKResult:
+    """Exact MoL over the whole corpus (`MoLBruteForceTopK`, `mol_top_k.py:84-130`)."""
+    scores = model.apply(
+        params, query_embeddings, state.item_tables, user_ids=user_ids,
+        method=model.score_precomputed,
+    )                                          # (B, X)
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    return TopKResult(scores=top_scores, ids=state.item_ids[top_idx])
+
+
+def mips_brute_force_top_k(
+    item_ids: jnp.ndarray,                    # (X,)
+    item_embeddings: jnp.ndarray,             # (X, D)
+    query_embeddings: jnp.ndarray,            # (B, D)
+    k: int,
+) -> TopKResult:
+    """`MIPSBruteForceTopK` (`mips_top_k.py:24-81`)."""
+    scores = jnp.einsum(
+        "bd,xd->bx", query_embeddings, item_embeddings,
+        preferred_element_type=jnp.float32,
+    )
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    return TopKResult(scores=top_scores, ids=item_ids[top_idx])
+
+
+# --------------------------------------------------------------------- #
+# Approximate algorithms: candidate generation + exact rerank.
+# --------------------------------------------------------------------- #
+
+
+def _dedup_rerank_top_k(
+    model, params, state: MoLTopKState,
+    query_embeddings: jnp.ndarray,
+    candidate_indices: jnp.ndarray,            # (B, C) corpus positions
+    k: int,
+    user_ids: Optional[jnp.ndarray],
+) -> TopKResult:
+    """Sort candidates, mask duplicates, exact-MoL rerank, final top-k.
+
+    Reference: the shared tail of Naive/Comb (`mol_top_k.py:257-293`).
+    """
+    sorted_idx = jnp.sort(candidate_indices, axis=1)
+    is_first = jnp.concatenate(
+        [
+            jnp.ones_like(sorted_idx[:, :1], dtype=bool),
+            sorted_idx[:, 1:] != sorted_idx[:, :-1],
+        ],
+        axis=1,
+    )
+    scores = model.apply(
+        params, query_embeddings, state.item_tables, user_ids=user_ids,
+        item_indices=sorted_idx, method=model.score_precomputed,
+    )                                          # (B, C)
+    scores = jnp.where(is_first, scores, NEG_DUP)
+    kk = min(k, sorted_idx.shape[1])
+    top_scores, pos = jax.lax.top_k(scores, kk)
+    top_idx = jnp.take_along_axis(sorted_idx, pos, axis=1)
+    return TopKResult(scores=top_scores, ids=state.item_ids[top_idx])
+
+
+def _naive_candidates(
+    model, params, state: MoLTopKState,
+    query_embeddings: jnp.ndarray,
+    k_per_group: int,
+    user_ids: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """Per-(query-group, item-group) dot-product top-k_per_group union.
+
+    Reference: `MoLNaiveTopK.forward` non-FAISS branch (`mol_top_k.py:241-257`).
+    Returns (B, P_Q * P_X * k_per_group) corpus positions.
+    """
+    q_comp = model.apply(
+        params, query_embeddings, user_ids, method=model.query_components
+    )                                          # (B, P_Q, d_P)
+    i_comp = state.item_tables.component_embeddings   # (X, P_X, d_P)
+    sims = jnp.einsum(
+        "bnd,xmd->bnmx", q_comp.astype(i_comp.dtype), i_comp,
+        preferred_element_type=jnp.float32,
+    )                                          # (B, P_Q, P_X, X)
+    _, idx = jax.lax.top_k(sims, k_per_group)  # (B, P_Q, P_X, k)
+    b = query_embeddings.shape[0]
+    return idx.reshape(b, -1)
+
+
+def mol_naive_top_k(
+    model, params, state: MoLTopKState,
+    query_embeddings: jnp.ndarray,
+    k: int,
+    k_per_group: int,
+    user_ids: Optional[jnp.ndarray] = None,
+) -> TopKResult:
+    cands = _naive_candidates(
+        model, params, state, query_embeddings, k_per_group, user_ids
+    )
+    return _dedup_rerank_top_k(
+        model, params, state, query_embeddings, cands, k, user_ids
+    )
+
+
+def mol_avg_top_k(
+    model, params, state: MoLTopKState,
+    query_embeddings: jnp.ndarray,
+    k: int,
+    avg_top_k: int,
+    user_ids: Optional[jnp.ndarray] = None,
+) -> TopKResult:
+    """Average-embedding MIPS prefilter + exact rerank
+    (`MoLAvgTopK.forward`, `mol_top_k.py:328-396`)."""
+    q_comp = model.apply(
+        params, query_embeddings, user_ids, method=model.query_components
+    )                                          # (B, P_Q, d_P)
+    q_avg = q_comp.sum(axis=1)                 # sum, not mean (`mol_top_k.py:352`)
+    avg_scores = jnp.einsum(
+        "bd,xd->bx", q_avg.astype(state.avg_component.dtype), state.avg_component,
+        preferred_element_type=jnp.float32,
+    )
+    _, cand = jax.lax.top_k(avg_scores, avg_top_k)   # (B, avg_top_k)
+    scores = model.apply(
+        params, query_embeddings, state.item_tables, user_ids=user_ids,
+        item_indices=cand, method=model.score_precomputed,
+    )
+    kk = min(k, avg_top_k)
+    top_scores, pos = jax.lax.top_k(scores, kk)
+    top_idx = jnp.take_along_axis(cand, pos, axis=1)
+    return TopKResult(scores=top_scores, ids=state.item_ids[top_idx])
+
+
+def mol_comb_top_k(
+    model, params, state: MoLTopKState,
+    query_embeddings: jnp.ndarray,
+    k: int,
+    avg_top_k: int,
+    k_per_group: int,
+    user_ids: Optional[jnp.ndarray] = None,
+) -> TopKResult:
+    """Union of Naive per-group and Avg candidates, one rerank
+    (`MoLCombTopK.forward`, `mol_top_k.py:467-551`)."""
+    naive = _naive_candidates(
+        model, params, state, query_embeddings, k_per_group, user_ids
+    )
+    q_comp = model.apply(
+        params, query_embeddings, user_ids, method=model.query_components
+    )
+    q_avg = q_comp.sum(axis=1)
+    avg_scores = jnp.einsum(
+        "bd,xd->bx", q_avg.astype(state.avg_component.dtype), state.avg_component,
+        preferred_element_type=jnp.float32,
+    )
+    _, avg_cand = jax.lax.top_k(avg_scores, avg_top_k)
+    cands = jnp.concatenate([naive, avg_cand], axis=1)
+    return _dedup_rerank_top_k(
+        model, params, state, query_embeddings, cands, k, user_ids
+    )

@@ -1,0 +1,254 @@
+"""Retrieval evaluation engine: full-corpus eval state, ranking metrics,
+recall-vs-exact harness, latency harness.
+
+Reference: `/root/reference/data/eval.py:42-292` and the
+`--eval_against_brute_force` protocol
+(`/root/reference/eval_from_checkpoint.py:427-449`).
+
+TPU shifts: query encoding, top-k, seen-id filtering, and rank extraction all
+run inside jit with static k; latency measurements bracket
+`block_until_ready` with explicit compile warmup.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rails_tpu.data.features import Batch, SequentialFeatures
+from rails_tpu.index.candidate_index import (
+    k_prime_for,
+    select_top_k_with_invalid_filter,
+)
+from rails_tpu.index.factory import get_top_k_fn
+from rails_tpu.index.top_k import MoLTopKState, TopKResult, build_mol_topk_state
+from rails_tpu.losses.samplers import maybe_l2_norm
+
+NDCG_KS = (1, 5, 10, 50, 100, 200)
+HR_KS = (1, 5, 10, 50, 100, 200, 500, 1000)
+
+
+@dataclass
+class EvalState:
+    """`EvalState` (`data/eval.py:42-46`): corpus + configured top-k method."""
+
+    all_item_ids: jnp.ndarray           # (X,)
+    item_embeddings: jnp.ndarray        # (X, D), post-normalization
+    topk_state: MoLTopKState
+    top_k_fn: Callable
+    num_objects: int
+
+
+def get_eval_state(
+    model,
+    params,
+    all_item_ids: np.ndarray,
+    top_k_method: str,
+    item_l2_norm: bool = False,
+    l2_norm_eps: float = 1e-6,
+    table_dtype: jnp.dtype = jnp.bfloat16,
+) -> EvalState:
+    """Embed the entire corpus and build the top-k module
+    (`get_eval_state`, `data/eval.py:49-73`)."""
+    ids = jnp.asarray(all_item_ids, dtype=jnp.int32)
+    item_emb = model.apply(params, ids, method=model.get_item_embeddings)
+    item_emb = maybe_l2_norm(item_emb, item_l2_norm, l2_norm_eps)
+    state = build_mol_topk_state(model, params, ids, item_emb, table_dtype=table_dtype)
+    top_k_fn = get_top_k_fn(
+        top_k_method, model, params, state, item_embeddings=item_emb
+    )
+    return EvalState(
+        all_item_ids=ids,
+        item_embeddings=item_emb,
+        topk_state=state,
+        top_k_fn=top_k_fn,
+        num_objects=int(ids.shape[0]),
+    )
+
+
+def ranks_from_top_k(top_k_ids: jnp.ndarray, target_ids: jnp.ndarray) -> jnp.ndarray:
+    """1-based rank of target in the top-k list; sentinel (large) if absent.
+
+    Reference: `data/eval.py:194-201`. Sentinel is > every metric threshold so
+    hr@K never counts misses (fixes the reference's MAX_K=120/hr@500 quirk).
+    """
+    k = top_k_ids.shape[1]
+    hit = top_k_ids == target_ids[:, None]
+    found = hit.any(axis=1)
+    pos = jnp.argmax(hit, axis=1)
+    sentinel = max(k, max(HR_KS)) + 1
+    return jnp.where(found, pos + 1, sentinel)
+
+
+def metrics_from_ranks(ranks: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """NDCG/HR/MRR per-example vectors (`data/eval.py:203-243`)."""
+    out: Dict[str, jnp.ndarray] = {}
+    ranks_f = ranks.astype(jnp.float32)
+    dcg = 1.0 / jnp.log2(ranks_f + 1.0)
+    for kk in NDCG_KS:
+        out[f"ndcg@{kk}"] = jnp.where(ranks <= kk, dcg, 0.0)
+    for kk in HR_KS:
+        out[f"hr@{kk}"] = (ranks <= kk).astype(jnp.float32)
+    out["mrr"] = 1.0 / ranks_f
+    return out
+
+
+def add_rating_filtered_metrics(
+    out: Dict[str, np.ndarray],
+    ranks: np.ndarray,
+    target_ratings: np.ndarray,
+    min_positive_rating: int = 4,
+) -> None:
+    """Rating-filtered variants (`data/eval.py:249-264`)."""
+    sel = target_ratings >= min_positive_rating
+    r = ranks[sel].astype(np.float64)
+    out[f"ndcg@10_>={min_positive_rating}"] = np.where(
+        r <= 10, 1.0 / np.log2(r + 1.0), 0.0
+    )
+    out[f"hr@10_>={min_positive_rating}"] = (r <= 10).astype(np.float64)
+    out[f"hr@50_>={min_positive_rating}"] = (r <= 50).astype(np.float64)
+    out[f"mrr_>={min_positive_rating}"] = 1.0 / r
+
+
+def make_eval_step(
+    model,
+    eval_state: EvalState,
+    k: int,
+    filter_invalid_ids: bool = True,
+    truncate_k_prime_to: Optional[int] = None,
+    max_num_invalid: Optional[int] = None,
+):
+    """Build the jitted (encode -> top-k -> filter -> rank) step.
+
+    Returns fn(params, features, target_ids) -> (ranks, top_k_ids, top_k_scores).
+    """
+
+    def step(params, features: SequentialFeatures, target_ids: jnp.ndarray):
+        queries = model.apply(params, features, method=model.encode)
+        n0 = features.ids.shape[1] if filter_invalid_ids else 0
+        if max_num_invalid is not None:
+            n0 = min(n0, max_num_invalid)
+        k_prime = k_prime_for(
+            k, eval_state.num_objects, n0, truncate_k_prime_to
+        )
+        res = eval_state.top_k_fn(queries, k_prime, user_ids=features.user_ids)
+        res = select_top_k_with_invalid_filter(
+            res, features.ids if filter_invalid_ids else None, k
+        )
+        ranks = ranks_from_top_k(res.ids, target_ids)
+        return ranks, res.ids, res.scores
+
+    return jax.jit(step)
+
+
+@dataclass
+class LatencyStats:
+    mean_ms: float
+    std_ms: float
+    num_measurements: int
+
+
+def eval_metrics_from_batches(
+    model,
+    params,
+    eval_state: EvalState,
+    batches,
+    k: int = 200,
+    filter_invalid_ids: bool = True,
+    include_eval_time: bool = False,
+    truncate_k_prime_to: Optional[int] = None,
+    warmup_runs: int = 3,
+    timed_runs: int = 20,
+    timing_fraction: float = 0.1,
+    seed: int = 0,
+) -> Tuple[Dict[str, np.ndarray], Optional[LatencyStats]]:
+    """Evaluate all batches; optionally time the top-k path.
+
+    Latency protocol mirrors `data/eval.py:128-170`: with timing enabled,
+    k is capped at 120 and k' truncated to 200, and ~10% of batches get
+    3 warmup + `timed_runs` timed repetitions of the retrieval call.
+    """
+    if include_eval_time:
+        k = min(k, 120)
+        truncate_k_prime_to = 200 if truncate_k_prime_to is None else truncate_k_prime_to
+    k = min(k, eval_state.num_objects)
+    step = make_eval_step(
+        model, eval_state, k,
+        filter_invalid_ids=filter_invalid_ids,
+        truncate_k_prime_to=truncate_k_prime_to,
+    )
+    rng = np.random.default_rng(seed)
+    all_metrics: Dict[str, List[np.ndarray]] = {}
+    times: List[float] = []
+    for batch in batches:
+        feats, target_ids = batch.features, batch.target_ids
+        if include_eval_time and rng.random() < timing_fraction:
+            for _ in range(warmup_runs):
+                r, _, _ = step(params, feats, target_ids)
+            jax.block_until_ready(r)
+            t0 = time.perf_counter()
+            for _ in range(timed_runs):
+                r, _, _ = step(params, feats, target_ids)
+            jax.block_until_ready(r)
+            times.append((time.perf_counter() - t0) / timed_runs)
+        ranks, _, _ = step(params, feats, target_ids)
+        m = metrics_from_ranks(ranks)
+        m = {kk: np.asarray(v) for kk, v in m.items()}
+        add_rating_filtered_metrics(
+            m, np.asarray(ranks), np.asarray(batch.target_ratings)
+        )
+        for kk, v in m.items():
+            all_metrics.setdefault(kk, []).append(v)
+    out = {kk: np.concatenate(v) for kk, v in all_metrics.items()}
+    lat = None
+    if times:
+        lat = LatencyStats(
+            mean_ms=float(np.mean(times) * 1e3),
+            std_ms=float(np.std(times) * 1e3),
+            num_measurements=len(times),
+        )
+    return out, lat
+
+
+def summarize_metrics(metrics: Dict[str, np.ndarray]) -> Dict[str, float]:
+    """Mean over examples (`_avg`, `data/eval.py:271-275`; the cross-host
+    all-reduce happens in the distributed driver)."""
+    return {k: float(np.mean(v)) if len(v) else float("nan")
+            for k, v in metrics.items()}
+
+
+def recall_vs_exact(
+    model,
+    params,
+    exact_state: EvalState,
+    approx_state: EvalState,
+    batches,
+    k: int = 200,
+    filter_invalid_ids: bool = True,
+) -> Dict[str, float]:
+    """Recall of the approximate algorithm against exact-MoL top-1.
+
+    Reference protocol: brute force runs first and its top-1 id becomes the
+    target; the approximate algorithm's HR@k against that target is its
+    recall (`eval_from_checkpoint.py:427-449`).
+    """
+    exact_step = make_eval_step(
+        model, exact_state, 1, filter_invalid_ids=filter_invalid_ids
+    )
+    hits: Dict[int, List[np.ndarray]] = {kk: [] for kk in HR_KS if kk <= k}
+    approx_step = make_eval_step(
+        model, approx_state, k, filter_invalid_ids=filter_invalid_ids
+    )
+    for batch in batches:
+        feats = batch.features
+        _, exact_ids, _ = exact_step(params, feats, batch.target_ids)
+        exact_top1 = exact_ids[:, 0]
+        ranks, _, _ = approx_step(params, feats, exact_top1)
+        for kk in hits:
+            hits[kk].append(np.asarray(ranks <= kk))
+    return {f"recall@{kk}": float(np.concatenate(v).mean()) for kk, v in hits.items()}

@@ -1,0 +1,205 @@
+"""Tests for the top-k retrieval stack: exact vs approximate algorithms,
+seen-id filtering, rank extraction, recall harness."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rails_tpu.core.config import get_experiment_config
+from rails_tpu.data.datasets import get_reco_dataset
+from rails_tpu.index import top_k as tk
+from rails_tpu.index.candidate_index import (
+    k_prime_for,
+    select_top_k_with_invalid_filter,
+)
+from rails_tpu.index.factory import get_top_k_fn
+from rails_tpu.models.encoder import SequentialRecommender
+from rails_tpu.train.evaluation import (
+    EvalState,
+    eval_metrics_from_batches,
+    get_eval_state,
+    metrics_from_ranks,
+    ranks_from_top_k,
+    recall_vs_exact,
+    summarize_metrics,
+)
+from rails_tpu.train.loop import create_train_state
+
+
+@pytest.fixture(scope="module")
+def trained():
+    """A briefly-trained tiny model + dataset (so MoL scores are non-trivial)."""
+    cfg = get_experiment_config("synthetic-small")
+    cfg = cfg.replace(
+        data=cfg.data.replace(synthetic_num_users=128, synthetic_num_items=300),
+        train=cfg.train.replace(local_batch_size=16, num_negatives=8),
+    )
+    ds = get_reco_dataset(cfg.data)
+    batches = list(
+        ds.train_dataset.batches(
+            batch_size=16, max_output_length=cfg.train.gr_output_length + 1,
+            shuffle=True, seed=0, drop_last=True,
+        )
+    )
+    model, state, train_step, _ = create_train_state(
+        cfg, ds.max_item_id, ds.all_item_ids, batches[0]
+    )
+    rng = jax.random.PRNGKey(0)
+    for batch in batches[:4]:
+        state, _ = train_step(state, batch, rng)
+    return cfg, ds, model, state.params, batches
+
+
+class TestBruteForce:
+    def test_matches_direct_argsort(self, trained):
+        cfg, ds, model, params, batches = trained
+        es = get_eval_state(
+            model, params, ds.all_item_ids, "MoLBruteForceTopK",
+            table_dtype=jnp.float32,
+        )
+        feats = batches[0].features
+        q = model.apply(params, feats, method=model.encode)
+        res = es.top_k_fn(q, 10, user_ids=feats.user_ids)
+        # Direct full scoring through the similarity module.
+        scores = model.apply(
+            params, q, es.topk_state.item_tables, user_ids=feats.user_ids,
+            method=model.score_precomputed,
+        )
+        order = np.argsort(-np.asarray(scores), axis=1)[:, :10]
+        expected_ids = np.asarray(es.all_item_ids)[order]
+        np.testing.assert_array_equal(np.asarray(res.ids), expected_ids)
+        np.testing.assert_allclose(
+            np.asarray(res.scores),
+            np.take_along_axis(np.asarray(scores), order, axis=1),
+            rtol=1e-5,
+        )
+
+
+class TestApproximateAlgorithms:
+    @pytest.mark.parametrize(
+        "method", ["MoLAvgTopK300", "MoLNaiveTopK50", "MoLCombTopK50_300"]
+    )
+    def test_full_budget_equals_brute_force(self, trained, method):
+        """With the candidate budget >= corpus size, approx == exact."""
+        cfg, ds, model, params, batches = trained
+        x = len(ds.all_item_ids)
+        assert x == 300 or x <= 300
+        es_exact = get_eval_state(
+            model, params, ds.all_item_ids, "MoLBruteForceTopK",
+            table_dtype=jnp.float32,
+        )
+        es_apx = get_eval_state(
+            model, params, ds.all_item_ids, method, table_dtype=jnp.float32
+        )
+        feats = batches[0].features
+        q = model.apply(params, feats, method=model.encode)
+        exact = es_exact.top_k_fn(q, 10, user_ids=feats.user_ids)
+        apx = es_apx.top_k_fn(q, 10, user_ids=feats.user_ids)
+        np.testing.assert_array_equal(np.asarray(apx.ids), np.asarray(exact.ids))
+        np.testing.assert_allclose(
+            np.asarray(apx.scores), np.asarray(exact.scores), rtol=1e-4, atol=1e-4
+        )
+
+    def test_tight_budget_high_recall(self, trained):
+        cfg, ds, model, params, batches = trained
+        es_exact = get_eval_state(
+            model, params, ds.all_item_ids, "MoLBruteForceTopK",
+            table_dtype=jnp.float32,
+        )
+        es_apx = get_eval_state(
+            model, params, ds.all_item_ids, "MoLAvgTopK100",
+            table_dtype=jnp.float32,
+        )
+        rec = recall_vs_exact(
+            model, params, es_exact, es_apx, batches[:2], k=50,
+        )
+        assert rec["recall@50"] >= 0.5  # tight prefilter still mostly right
+
+    def test_naive_dedup_no_duplicate_ids(self, trained):
+        cfg, ds, model, params, batches = trained
+        es = get_eval_state(
+            model, params, ds.all_item_ids, "MoLNaiveTopK10",
+            table_dtype=jnp.float32,
+        )
+        feats = batches[0].features
+        q = model.apply(params, feats, method=model.encode)
+        res = es.top_k_fn(q, 20, user_ids=feats.user_ids)
+        ids = np.asarray(res.ids)
+        scores = np.asarray(res.scores)
+        for b in range(ids.shape[0]):
+            kept = ids[b][scores[b] > tk.NEG_DUP]
+            assert len(np.unique(kept)) == len(kept)
+
+
+class TestInvalidFilter:
+    def test_seen_ids_removed_in_order(self):
+        ids = jnp.array([[5, 3, 9, 7, 1, 2]])
+        scores = jnp.array([[0.9, 0.8, 0.7, 0.6, 0.5, 0.4]])
+        res = select_top_k_with_invalid_filter(
+            tk.TopKResult(scores=scores, ids=ids),
+            invalid_ids=jnp.array([[3, 7]]),
+            k=3,
+        )
+        np.testing.assert_array_equal(np.asarray(res.ids), [[5, 9, 1]])
+        np.testing.assert_allclose(np.asarray(res.scores), [[0.9, 0.7, 0.5]])
+
+    def test_backfill_when_not_enough_valid(self):
+        ids = jnp.array([[5, 3, 9]])
+        scores = jnp.array([[0.9, 0.8, 0.7]])
+        res = select_top_k_with_invalid_filter(
+            tk.TopKResult(scores=scores, ids=ids),
+            invalid_ids=jnp.array([[3, 9]]),
+            k=2,
+        )
+        # Only id 5 is valid; backfill takes the first masked entry (3).
+        np.testing.assert_array_equal(np.asarray(res.ids), [[5, 3]])
+
+    def test_zero_padding_in_invalid_never_matches(self):
+        ids = jnp.array([[5, 3, 9]])
+        scores = jnp.array([[0.9, 0.8, 0.7]])
+        res = select_top_k_with_invalid_filter(
+            tk.TopKResult(scores=scores, ids=ids),
+            invalid_ids=jnp.array([[0, 0]]),
+            k=2,
+        )
+        np.testing.assert_array_equal(np.asarray(res.ids), [[5, 3]])
+
+    def test_k_prime_rule(self):
+        assert k_prime_for(10, 1000, 5) == 15
+        assert k_prime_for(10, 12, 5) == 12
+        assert k_prime_for(120, 100000, 211, truncate_k_prime_to=200) == 200
+
+
+class TestRanksAndMetrics:
+    def test_rank_extraction(self):
+        top = jnp.array([[4, 2, 9], [1, 1, 1]])
+        tgt = jnp.array([9, 5])
+        ranks = np.asarray(ranks_from_top_k(top, tgt))
+        assert ranks[0] == 3
+        assert ranks[1] > 1000  # sentinel: missing
+
+    def test_metric_values(self):
+        ranks = jnp.array([1, 2, 11, 2000])
+        m = metrics_from_ranks(ranks)
+        np.testing.assert_allclose(np.asarray(m["hr@1"]), [1, 0, 0, 0])
+        np.testing.assert_allclose(np.asarray(m["hr@10"]), [1, 1, 0, 0])
+        np.testing.assert_allclose(
+            np.asarray(m["ndcg@10"])[:2], [1.0, 1.0 / np.log2(3.0)]
+        )
+        np.testing.assert_allclose(
+            np.asarray(m["mrr"]), [1.0, 0.5, 1 / 11.0, 1 / 2000.0]
+        )
+
+    def test_end_to_end_eval(self, trained):
+        cfg, ds, model, params, batches = trained
+        es = get_eval_state(
+            model, params, ds.all_item_ids, "MoLBruteForceTopK"
+        )
+        metrics, lat = eval_metrics_from_batches(
+            model, params, es, batches[:2], k=50
+        )
+        summary = summarize_metrics(metrics)
+        assert 0.0 <= summary["hr@50"] <= 1.0
+        assert summary["hr@10"] <= summary["hr@50"] + 1e-9
+        assert lat is None
