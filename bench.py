@@ -1,0 +1,97 @@
+"""Headline serving benchmark: exact-MoL top-k queries/sec/chip.
+
+Protocol mirrors the reference's latency harness (`/root/reference/data/eval.py:128-170`
++ `eval_batch.py:100-102`): batch of 32 users, ML-20M-scale corpus and MoL
+geometry (8x4x128, D=256, 16-block HSTU encoder), k=120 with k' truncated to
+200, seen-id filtering on; timed section covers the full serving path
+(sequence encode -> MoL top-k -> seen-id filter), 3 warmup + 20 timed runs
+bracketed by block_until_ready.
+
+Baseline anchor: the reference's verified exact-MoL ML-20M eval processes
+138496 users in 120 s on one CUDA GPU (`eval_from_checkpoint.py:33-36`),
+i.e. ~1154 queries/sec/GPU for the same composite path. `vs_baseline` is the
+ratio against that number.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_QPS = 138496.0 / 120.0   # reference exact-MoL eval throughput
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from rails_tpu.core.config import get_experiment_config
+    from rails_tpu.data.datasets import generate_synthetic_sequences, SequenceDataset
+    from rails_tpu.train.evaluation import get_eval_state, make_eval_step
+    from rails_tpu.train.loop import create_train_state
+
+    num_items = 26744          # ML-20M unique-item count (SURVEY.md section 2)
+    batch_size = 32
+    cfg = get_experiment_config("ml-20m-hstu-mol")
+    cfg = cfg.replace(
+        data=cfg.data.replace(
+            dataset_name="synthetic",
+            synthetic_num_users=max(batch_size * 4, 128),
+            synthetic_num_items=num_items,
+        ),
+        train=cfg.train.replace(local_batch_size=batch_size, num_negatives=128),
+    )
+
+    seqs = generate_synthetic_sequences(
+        num_users=cfg.data.synthetic_num_users,
+        num_items=num_items,
+        max_len=64,
+        seed=0,
+    )
+    train_ds = SequenceDataset(seqs, cfg.data.max_sequence_length, ignore_last_n=1)
+    batch = next(
+        train_ds.batches(
+            batch_size=batch_size,
+            max_output_length=cfg.train.gr_output_length + 1,
+            shuffle=False,
+        )
+    )
+    all_item_ids = np.arange(1, num_items + 1, dtype=np.int32)
+    model, state, _, _ = create_train_state(cfg, num_items, all_item_ids, batch)
+    params = state.params
+
+    es = get_eval_state(
+        model, params, all_item_ids, "MoLBruteForceTopK",
+        table_dtype=jnp.bfloat16,
+    )
+    step = make_eval_step(
+        model, es, k=120, filter_invalid_ids=True, truncate_k_prime_to=200,
+    )
+
+    feats, targets = batch.features, batch.target_ids
+    for _ in range(3):
+        ranks, ids, scores = step(params, feats, targets)
+    jax.block_until_ready(ranks)
+
+    runs = 20
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        ranks, ids, scores = step(params, feats, targets)
+    jax.block_until_ready(ranks)
+    dt = (time.perf_counter() - t0) / runs
+    qps = batch_size / dt
+
+    print(json.dumps({
+        "metric": "exact_mol_top120_serving_qps_ml20m_scale",
+        "value": round(qps, 2),
+        "unit": "queries/sec/chip",
+        "vs_baseline": round(qps / BASELINE_QPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

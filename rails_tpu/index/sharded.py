@@ -1,0 +1,149 @@
+"""Distributed top-k over an item-sharded corpus (shard_map + ICI collectives).
+
+New capability beyond the reference (which replicates the full corpus per GPU,
+SURVEY.md section 2.4): the item-component tables shard along the corpus axis
+of the mesh; each shard runs the retrieval algorithm locally and the per-shard
+top-k lists merge with one tiled `all_gather` + re-top-k ("top-k of top-k").
+For brute force this is exact; for the approximate algorithms each shard
+spends the full candidate budget locally, so recall is >= the single-device
+algorithm at the same per-shard budget.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from rails_tpu.core.mesh import ITEM_AXIS, item_sharding
+from rails_tpu.index.top_k import (
+    MoLTopKState,
+    TopKResult,
+    mol_avg_top_k,
+    mol_brute_force_top_k,
+    mol_comb_top_k,
+    mol_naive_top_k,
+)
+from rails_tpu.similarity.mol import MoLItemTables
+
+NEG_PAD = -1.0e30
+
+
+def pad_and_shard_state(state: MoLTopKState, mesh: Mesh) -> MoLTopKState:
+    """Pad the corpus to a multiple of the item-axis size and shard it.
+
+    Padded rows carry item id 0 and zero embeddings; scoring masks them to
+    -inf before the local top-k so they never surface.
+    """
+    s = mesh.shape[ITEM_AXIS]
+    x = state.item_ids.shape[0]
+    pad = (-x) % s
+
+    def pad0(arr):
+        if arr is None or pad == 0:
+            return arr
+        widths = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
+        return jnp.pad(arr, widths)
+
+    sh = item_sharding(mesh)
+    put = lambda a: None if a is None else jax.device_put(pad0(a), sh)
+    return MoLTopKState(
+        item_ids=put(state.item_ids),
+        item_tables=MoLItemTables(
+            component_embeddings=put(state.item_tables.component_embeddings),
+            gating_partial=put(state.item_tables.gating_partial),
+        ),
+        avg_component=put(state.avg_component),
+    )
+
+
+def _merge_local_topk(
+    local_scores: jnp.ndarray, local_ids: jnp.ndarray, k: int
+) -> TopKResult:
+    """all_gather per-shard (B, k) lists along the item axis, re-top-k."""
+    gs = jax.lax.all_gather(local_scores, ITEM_AXIS, axis=1, tiled=True)  # (B, S*k)
+    gi = jax.lax.all_gather(local_ids, ITEM_AXIS, axis=1, tiled=True)
+    top_scores, pos = jax.lax.top_k(gs, k)
+    return TopKResult(scores=top_scores, ids=jnp.take_along_axis(gi, pos, axis=1))
+
+
+def make_sharded_top_k_fn(
+    top_k_method: str,
+    model,
+    params,
+    state: MoLTopKState,            # already padded + item-sharded
+    mesh: Mesh,
+    k: int,
+    k_per_group: int = 50,
+    avg_top_k: int = 200,
+) -> Callable:
+    """Build fn(query_embeddings, user_ids=None) -> TopKResult (replicated).
+
+    `k`, and the per-shard candidate budgets, are static. Queries and params
+    are replicated; item tables are sharded along the corpus axis.
+    """
+
+    def local_algorithm(params_, state_l: MoLTopKState, q, user_ids):
+        x_local = state_l.item_ids.shape[0]          # static inside shard_map
+        k_local = min(k, x_local)
+        if top_k_method == "MoLBruteForceTopK":
+            res = mol_brute_force_top_k(
+                model, params_, state_l, q, k_local, user_ids=user_ids
+            )
+        elif top_k_method.startswith("MoLNaive"):
+            res = mol_naive_top_k(
+                model, params_, state_l, q, k_local,
+                k_per_group=min(k_per_group, x_local), user_ids=user_ids,
+            )
+        elif top_k_method.startswith("MoLAvg"):
+            res = mol_avg_top_k(
+                model, params_, state_l, q, k_local,
+                avg_top_k=min(avg_top_k, x_local), user_ids=user_ids,
+            )
+        elif top_k_method.startswith("MoLComb"):
+            res = mol_comb_top_k(
+                model, params_, state_l, q, k_local,
+                avg_top_k=min(avg_top_k, x_local),
+                k_per_group=min(k_per_group, x_local), user_ids=user_ids,
+            )
+        else:
+            raise ValueError(f"Unknown top_k_method {top_k_method!r}")
+        # Mask padded corpus rows (id 0), then pad local lists back to k
+        # columns so the cross-shard merge shapes are uniform.
+        scores = jnp.where(res.ids == 0, NEG_PAD, res.scores)
+        ids = res.ids
+        if scores.shape[1] < k:
+            pad = k - scores.shape[1]
+            scores = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=NEG_PAD)
+            ids = jnp.pad(ids, ((0, 0), (0, pad)))
+        return _merge_local_topk(scores, ids, k)
+
+    state_specs = MoLTopKState(
+        item_ids=P(ITEM_AXIS),
+        item_tables=MoLItemTables(
+            component_embeddings=P(ITEM_AXIS),
+            gating_partial=(
+                P(ITEM_AXIS) if state.item_tables.gating_partial is not None else None
+            ),
+        ),
+        avg_component=P(ITEM_AXIS),
+    )
+
+    sharded = shard_map(
+        local_algorithm,
+        mesh=mesh,
+        in_specs=(P(), state_specs, P(), P()),
+        out_specs=TopKResult(scores=P(), ids=P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def fn(query_embeddings, user_ids=None):
+        return sharded(params, state, query_embeddings, user_ids)
+
+    return fn
