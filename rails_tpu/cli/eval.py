@@ -1,0 +1,107 @@
+"""Checkpoint evaluation / retrieval benchmark CLI.
+
+Reference: `/root/reference/eval_from_checkpoint.py:107-578`. Rebuilds the
+model from config, restores a checkpoint, and evaluates a chosen top-k method
+over the eval split — optionally measuring per-call retrieval latency and/or
+recall against exact brute-force MoL (`--eval-against-brute-force`,
+`eval_from_checkpoint.py:427-449`). Emits the same machine-parseable CSV
+tail: a header line and a value line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import itertools
+import logging
+import sys
+
+import numpy as np
+
+
+def main(argv=None) -> None:
+    logging.basicConfig(stream=sys.stdout, level=logging.INFO)
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", required=True)
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
+    p.add_argument("--ckpt", default=None, help="checkpoint path (ep* dir)")
+    p.add_argument("--top-k-method", default=None)
+    p.add_argument("--k", type=int, default=200)
+    p.add_argument("--include-eval-time", action="store_true")
+    p.add_argument("--eval-against-brute-force", action="store_true")
+    p.add_argument("--limit-users", type=int, default=None)
+    p.add_argument("--data-root", default=".")
+    args = p.parse_args(argv)
+
+    from rails_tpu.cli.train import apply_override
+    from rails_tpu.core.config import get_experiment_config
+    from rails_tpu.data.datasets import get_reco_dataset
+    from rails_tpu.train import evaluation as ev
+    from rails_tpu.train.checkpoint import restore_checkpoint
+    from rails_tpu.train.loop import create_train_state
+
+    cfg = get_experiment_config(args.config)
+    for ov in args.set:
+        key, _, val = ov.partition("=")
+        cfg = apply_override(cfg, key, val)
+    t = cfg.train
+    top_k_method = args.top_k_method or t.top_k_method
+
+    ds = get_reco_dataset(cfg.data, args.data_root)
+    max_output_length = t.gr_output_length + 1
+    eval_batches = list(
+        itertools.islice(
+            ds.eval_dataset.batches(
+                batch_size=t.eval_batch_size,
+                max_output_length=max_output_length,
+                shuffle=False,
+                drop_last=True,
+            ),
+            (args.limit_users // t.eval_batch_size) if args.limit_users else None,
+        )
+    )
+    sample = eval_batches[0]
+    model, state, _, _ = create_train_state(
+        cfg, ds.max_item_id, ds.all_item_ids, sample
+    )
+    if args.ckpt:
+        state, epoch, _ = restore_checkpoint(args.ckpt, state)
+        logging.info("restored checkpoint %s (epoch %d)", args.ckpt, epoch)
+    params = state.params
+
+    eval_state = ev.get_eval_state(
+        model, params, ds.all_item_ids, top_k_method,
+        item_l2_norm=t.item_l2_norm, l2_norm_eps=t.l2_norm_eps,
+    )
+    metrics, lat = ev.eval_metrics_from_batches(
+        model, params, eval_state, eval_batches,
+        k=min(args.k if not args.include_eval_time else 120,
+              len(ds.all_item_ids)),
+        include_eval_time=args.include_eval_time,
+    )
+    summary = ev.summarize_metrics(metrics)
+
+    recall = {}
+    if args.eval_against_brute_force and top_k_method != "MoLBruteForceTopK":
+        exact_state = ev.get_eval_state(
+            model, params, ds.all_item_ids, "MoLBruteForceTopK",
+            item_l2_norm=t.item_l2_norm, l2_norm_eps=t.l2_norm_eps,
+        )
+        recall = ev.recall_vs_exact(
+            model, params, exact_state, eval_state, eval_batches,
+            k=min(200, len(ds.all_item_ids)),
+        )
+        summary.update(recall)
+
+    keys = ["ndcg@10", "hr@10", "hr@50", "hr@100", "hr@200", "mrr"]
+    keys += sorted(recall)
+    if lat is not None:
+        summary["EvalTimeAvgMs"] = lat.mean_ms
+        summary["EvalTimeDevMs"] = lat.std_ms
+        keys += ["EvalTimeAvgMs", "EvalTimeDevMs"]
+    print(",".join([f"{top_k_method}_{k}" for k in keys]))
+    print(",".join(f"{summary.get(k, float('nan')):.4f}" for k in keys))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,155 @@
+"""Top-k algorithm sweep CLI (benchmark orchestrator).
+
+Reference: `/root/reference/eval_batch.py:20-149` — per dataset, run
+eval_from_checkpoint once per configured algorithm and collect the CSV tails.
+Here the sweep runs in-process (one model build, shared corpus state), which
+avoids the reference's per-algorithm subprocess + checkpoint reload.
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import logging
+import sys
+from typing import Dict, List
+
+# Algorithm menus per dataset (`eval_batch.py:40-71`).
+CONFIGURED_ALGORITHMS: Dict[str, List[str]] = {
+    "ml-1m": [
+        "MoLBruteForceTopK",
+        "MoLNaiveTopK5", "MoLNaiveTopK10", "MoLNaiveTopK50", "MoLNaiveTopK100",
+        "MoLAvgTopK200", "MoLAvgTopK500", "MoLAvgTopK1000",
+        "MoLCombTopK5_200", "MoLCombTopK50_500", "MoLCombTopK100_1000",
+    ],
+    "ml-20m": [
+        "MoLBruteForceTopK",
+        "MoLNaiveTopK5", "MoLNaiveTopK10", "MoLNaiveTopK50", "MoLNaiveTopK100",
+        "MoLAvgTopK200", "MoLAvgTopK500", "MoLAvgTopK1000", "MoLAvgTopK2000",
+        "MoLCombTopK5_200", "MoLCombTopK50_500", "MoLCombTopK100_1000",
+    ],
+    "amzn-books": [
+        "MoLBruteForceTopK",
+        "MoLNaiveTopK5", "MoLNaiveTopK10", "MoLNaiveTopK50",
+        "MoLAvgTopK500", "MoLAvgTopK1000", "MoLAvgTopK2000", "MoLAvgTopK4000",
+        "MoLCombTopK5_200", "MoLCombTopK50_500", "MoLCombTopK100_1000",
+    ],
+    "synthetic": [
+        "MoLBruteForceTopK",
+        "MoLNaiveTopK10", "MoLNaiveTopK50",
+        "MoLAvgTopK200", "MoLAvgTopK500",
+        "MoLCombTopK10_200",
+    ],
+}
+
+
+def run_sweep(
+    cfg,
+    ds,
+    model,
+    params,
+    algorithms: List[str],
+    eval_batches,
+    k: int = 120,
+    include_eval_time: bool = True,
+) -> List[Dict[str, float]]:
+    from rails_tpu.train import evaluation as ev
+
+    t = cfg.train
+    exact_state = ev.get_eval_state(
+        model, params, ds.all_item_ids, "MoLBruteForceTopK",
+        item_l2_norm=t.item_l2_norm, l2_norm_eps=t.l2_norm_eps,
+    )
+    rows = []
+    for alg in algorithms:
+        state = (
+            exact_state if alg == "MoLBruteForceTopK"
+            else ev.get_eval_state(
+                model, params, ds.all_item_ids, alg,
+                item_l2_norm=t.item_l2_norm, l2_norm_eps=t.l2_norm_eps,
+            )
+        )
+        metrics, lat = ev.eval_metrics_from_batches(
+            model, params, state, eval_batches,
+            k=min(k, len(ds.all_item_ids)),
+            include_eval_time=include_eval_time,
+            timing_fraction=1.0 if include_eval_time else 0.0,
+        )
+        summary = ev.summarize_metrics(metrics)
+        row = {"algorithm": alg, "hr@10": summary["hr@10"],
+               "hr@50": summary["hr@50"], "ndcg@10": summary["ndcg@10"],
+               "mrr": summary["mrr"]}
+        if alg != "MoLBruteForceTopK":
+            rec = ev.recall_vs_exact(
+                model, params, exact_state, state, eval_batches,
+                k=min(k, len(ds.all_item_ids)),
+            )
+            row.update(rec)
+        if lat is not None:
+            row["EvalTimeAvgMs"] = lat.mean_ms
+            row["EvalTimeDevMs"] = lat.std_ms
+        rows.append(row)
+        logging.info("sweep %s: %s", alg, row)
+    return rows
+
+
+def main(argv=None) -> None:
+    logging.basicConfig(stream=sys.stdout, level=logging.INFO)
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", required=True)
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--limit-users", type=int, default=8192)
+    p.add_argument("--no-eval-time", action="store_true")
+    p.add_argument("--data-root", default=".")
+    p.add_argument("--output-csv", default=None)
+    args = p.parse_args(argv)
+
+    from rails_tpu.core.config import get_experiment_config
+    from rails_tpu.data.datasets import get_reco_dataset
+    from rails_tpu.train.checkpoint import restore_checkpoint
+    from rails_tpu.train.loop import create_train_state
+
+    cfg = get_experiment_config(args.config)
+    ds = get_reco_dataset(cfg.data, args.data_root)
+    t = cfg.train
+    eval_batches = list(
+        itertools.islice(
+            ds.eval_dataset.batches(
+                batch_size=t.eval_batch_size,
+                max_output_length=t.gr_output_length + 1,
+                shuffle=False, drop_last=True,
+            ),
+            args.limit_users // t.eval_batch_size,
+        )
+    )
+    model, state, _, _ = create_train_state(
+        cfg, ds.max_item_id, ds.all_item_ids, eval_batches[0]
+    )
+    if args.ckpt:
+        state, _, _ = restore_checkpoint(args.ckpt, state)
+    algorithms = CONFIGURED_ALGORITHMS.get(
+        cfg.data.dataset_name, CONFIGURED_ALGORITHMS["synthetic"]
+    )
+    # Budgets above the corpus size are meaningless; drop them.
+    x = len(ds.all_item_ids)
+    algorithms = [
+        a for a in algorithms
+        if not (a.startswith("MoLAvgTopK") and int(a[len("MoLAvgTopK"):]) > x)
+    ]
+    rows = run_sweep(
+        cfg, ds, model, state.params, algorithms, eval_batches,
+        include_eval_time=not args.no_eval_time,
+    )
+    cols = sorted({k for r in rows for k in r})
+    lines = [",".join(cols)]
+    for r in rows:
+        lines.append(",".join(str(r.get(c, "")) for c in cols))
+    out = "\n".join(lines)
+    print(out)
+    if args.output_csv:
+        with open(args.output_csv, "w") as f:
+            f.write(out + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""Training CLI.
+
+Reference entry point: `/root/reference/train.py:589-607` (absl + gin +
+mp.spawn). Here: argparse + named experiment configs + dotted-path overrides;
+one process drives all local devices through jit.
+
+Usage:
+  python -m rails_tpu.cli.train --config ml-1m-hstu-mol \
+      [--set train.local_batch_size=64] [--workdir runs] \
+      [--restore-from-ckpt PATH] [--num-epochs N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import dataclasses
+import logging
+import sys
+
+from rails_tpu.core.config import (
+    ExperimentConfig,
+    get_experiment_config,
+    list_experiment_configs,
+)
+
+
+def apply_override(cfg: ExperimentConfig, dotted: str, raw_value: str) -> ExperimentConfig:
+    """Apply `section.field=value` (value parsed as a Python literal)."""
+    try:
+        value = ast.literal_eval(raw_value)
+    except (ValueError, SyntaxError):
+        value = raw_value
+    parts = dotted.split(".")
+    def rec(obj, path):
+        if len(path) == 1:
+            return dataclasses.replace(obj, **{path[0]: value})
+        return dataclasses.replace(
+            obj, **{path[0]: rec(getattr(obj, path[0]), path[1:])}
+        )
+    return rec(cfg, parts)
+
+
+def parse_config(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument(
+        "--config", required=True,
+        help=f"experiment name, one of {list_experiment_configs()}",
+    )
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   help="dotted config override, e.g. train.learning_rate=3e-4")
+    p.add_argument("--workdir", default="runs")
+    p.add_argument("--data-root", default=".")
+    p.add_argument("--restore-from-ckpt", default=None)
+    p.add_argument("--num-epochs", type=int, default=None)
+    args = p.parse_args(argv)
+    cfg = get_experiment_config(args.config)
+    for ov in args.set:
+        key, _, val = ov.partition("=")
+        cfg = apply_override(cfg, key, val)
+    args.cfg = cfg
+    return args
+
+
+def main(argv=None) -> None:
+    logging.basicConfig(stream=sys.stdout, level=logging.INFO)
+    args = parse_config(argv)
+    from rails_tpu.train.driver import run_training
+
+    result = run_training(
+        args.cfg,
+        data_root=args.data_root,
+        workdir=args.workdir,
+        restore_from=args.restore_from_ckpt,
+        num_epochs=args.num_epochs,
+    )
+    logging.getLogger("rails_tpu").info("final metrics: %s", result.final_metrics)
+
+
+if __name__ == "__main__":
+    main()

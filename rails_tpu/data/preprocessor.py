@@ -1,0 +1,186 @@
+"""Public-dataset preprocessing: MovieLens-1M/20M and Amazon Books.
+
+Reference: `/root/reference/data/preprocessor.py:35-454`. Pipeline:
+download/extract -> per-user chronological group-by -> `sasrec_format.csv`
+(stringified per-user id/rating/timestamp lists); Amazon additionally gets
+5-core filtering and a categorical id remap (+1 shift happens at load time,
+`reco_dataset.py:81-89`). Data-integrity asserts on unique-item counts are
+kept (`preprocessor.py:301-305,411-415`).
+
+Network access is required only for `download()`; preprocessing runs offline
+on already-present raw files.
+"""
+
+from __future__ import annotations
+
+import os
+import tarfile
+from dataclasses import dataclass
+from typing import Dict, Optional
+from zipfile import ZipFile
+
+import numpy as np
+import pandas as pd
+
+
+def _group_to_sasrec_csv(
+    ratings: pd.DataFrame, out_csv: str, shuffle_seed: int = 0
+) -> pd.DataFrame:
+    """Sort by timestamp, group by user, write stringified sequence lists
+    (`preprocessor.py:254-275`)."""
+    group = ratings.sort_values(by=["unix_timestamp"]).groupby("user_id")
+    seq = pd.DataFrame(
+        data={
+            "user_id": list(group.groups.keys()),
+            "sequence_item_ids": list(group.item_id.apply(list)),
+            "sequence_ratings": list(group.rating.apply(list)),
+            "sequence_timestamps": list(group.unix_timestamp.apply(list)),
+        }
+    )
+    os.makedirs(os.path.dirname(out_csv), exist_ok=True)
+    seq.sample(frac=1, random_state=shuffle_seed).reset_index(drop=True).to_csv(
+        out_csv, index=False, sep=","
+    )
+    return seq
+
+
+@dataclass
+class MovielensDataProcessor:
+    """`MovielensDataProcessor` (`preprocessor.py:100-298`)."""
+
+    prefix: str                        # "ml-1m" | "ml-20m"
+    download_url: str
+    saved_name: str
+    expected_num_unique_items: Optional[int] = None
+    expected_max_item_id: Optional[int] = None
+    root: str = "."
+
+    def output_format_csv(self) -> str:
+        return os.path.join(self.root, f"tmp/{self.prefix}/sasrec_format.csv")
+
+    def download(self) -> None:
+        from urllib.request import urlretrieve
+
+        path = os.path.join(self.root, self.saved_name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        if not os.path.exists(path):
+            urlretrieve(self.download_url, path)
+        tmp = os.path.join(self.root, "tmp")
+        if path.endswith(".zip"):
+            ZipFile(path, "r").extractall(path=tmp)
+        else:
+            with tarfile.open(path, "r:*") as tar:
+                tar.extractall(tmp)
+
+    def preprocess_rating(self) -> int:
+        d = os.path.join(self.root, f"tmp/{self.prefix}")
+        if self.prefix == "ml-1m":
+            if not os.path.exists(os.path.join(d, "ratings.dat")):
+                self.download()
+            ratings = pd.read_csv(
+                os.path.join(d, "ratings.dat"),
+                sep="::",
+                names=["user_id", "item_id", "rating", "unix_timestamp"],
+                engine="python",
+            )
+        else:
+            if not os.path.exists(os.path.join(d, "ratings.csv")):
+                self.download()
+            ratings = pd.read_csv(os.path.join(d, "ratings.csv"), sep=",")
+            ratings.rename(
+                columns={
+                    "userId": "user_id",
+                    "movieId": "item_id",
+                    "timestamp": "unix_timestamp",
+                },
+                inplace=True,
+            )
+        num_unique = ratings["item_id"].nunique()
+        max_id = int(ratings["item_id"].max())
+        if self.expected_num_unique_items is not None:
+            assert num_unique == self.expected_num_unique_items, (
+                f"{self.prefix}: {num_unique} unique items, expected "
+                f"{self.expected_num_unique_items}"
+            )
+        if self.expected_max_item_id is not None:
+            assert max_id == self.expected_max_item_id
+        _group_to_sasrec_csv(ratings, self.output_format_csv())
+        return num_unique
+
+
+@dataclass
+class AmazonDataProcessor:
+    """`AmazonDataProcessor` (`preprocessor.py:308-417`): 5-core filter +
+    contiguous categorical item-id remap (0-based; the loader shifts +1)."""
+
+    prefix: str = "amzn_books"
+    download_url: str = (
+        "https://jmcauley.ucsd.edu/data/amazon_v2/categoryFilesSmall/"
+        "Books.csv"
+    )
+    expected_num_unique_items: Optional[int] = 695762
+    root: str = "."
+
+    def output_format_csv(self) -> str:
+        return os.path.join(self.root, f"tmp/{self.prefix}/sasrec_format.csv")
+
+    def download(self) -> None:
+        from urllib.request import urlretrieve
+
+        path = os.path.join(self.root, f"tmp/{self.prefix}/ratings.csv")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        if not os.path.exists(path):
+            urlretrieve(self.download_url, path)
+
+    def preprocess_rating(self) -> int:
+        path = os.path.join(self.root, f"tmp/{self.prefix}/ratings.csv")
+        if not os.path.exists(path):
+            self.download()
+        ratings = pd.read_csv(
+            path, names=["item_id", "user_id", "rating", "unix_timestamp"]
+        )
+        # Iterative 5-core filtering (`preprocessor.py:346-362`): keep users
+        # and items with >= 5 interactions, repeating until stable.
+        while True:
+            item_counts = ratings["item_id"].value_counts()
+            user_counts = ratings["user_id"].value_counts()
+            keep = ratings["item_id"].isin(
+                item_counts[item_counts >= 5].index
+            ) & ratings["user_id"].isin(user_counts[user_counts >= 5].index)
+            if keep.all():
+                break
+            ratings = ratings[keep]
+        ratings = ratings.copy()
+        ratings["item_id"] = pd.Categorical(ratings["item_id"]).codes
+        ratings["user_id"] = pd.Categorical(ratings["user_id"]).codes
+        num_unique = ratings["item_id"].nunique()
+        if self.expected_num_unique_items is not None:
+            assert num_unique == self.expected_num_unique_items, (
+                f"amzn-books: {num_unique} unique items, expected "
+                f"{self.expected_num_unique_items}"
+            )
+        _group_to_sasrec_csv(ratings, self.output_format_csv())
+        return num_unique
+
+
+def get_common_preprocessors(root: str = ".") -> Dict[str, object]:
+    """`get_common_preprocessors` (`preprocessor.py:420-454`)."""
+    return {
+        "ml-1m": MovielensDataProcessor(
+            prefix="ml-1m",
+            download_url="https://files.grouplens.org/datasets/movielens/ml-1m.zip",
+            saved_name="tmp/movielens1m.zip",
+            expected_num_unique_items=3706,
+            expected_max_item_id=3952,
+            root=root,
+        ),
+        "ml-20m": MovielensDataProcessor(
+            prefix="ml-20m",
+            download_url="https://files.grouplens.org/datasets/movielens/ml-20m.zip",
+            saved_name="tmp/movielens20m.zip",
+            expected_num_unique_items=26744,
+            expected_max_item_id=131262,
+            root=root,
+        ),
+        "amzn-books": AmazonDataProcessor(root=root),
+    }

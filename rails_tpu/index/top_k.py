@@ -64,7 +64,9 @@ def build_mol_topk_state(
     `table_dtype=bfloat16` matches the reference's bf16 component table
     (`mol_top_k.py:61-73`); the rerank itself runs through the model dtype.
     """
-    tables = model.apply(params, item_embeddings, method=model.build_item_tables)
+    tables = jax.jit(
+        lambda p, e: model.apply(p, e, method=model.build_item_tables)
+    )(params, item_embeddings)
     comp = tables.component_embeddings
     avg = comp.mean(axis=1)
     return MoLTopKState(

@@ -65,28 +65,32 @@ def sampled_softmax_loss(
     sup_ids_flat = supervision_ids.reshape(m)
     user_ids_flat = jnp.repeat(features.user_ids, n - 1)           # (M,)
 
+    rng = model.make_rng("sampler")
     if isinstance(sampler, LocalNegativesSampler):
-        rng = model.make_rng("sampler")
         sampled_ids = sampler.sample(rng, (m, num_negatives))
         sampled_neg_embeddings = maybe_l2_norm(
             model.get_item_embeddings(sampled_ids), sampler.l2_norm,
             sampler.l2_norm_eps,
         )
-        pos_embeddings = maybe_l2_norm(
-            supervision_embeddings.reshape(m, d), sampler.l2_norm,
-            sampler.l2_norm_eps,
+    elif isinstance(sampler, InBatchNegativesSampler):
+        # `process_batch` over the full (target-scattered) sequence ids with
+        # the tied item table (`train.py:411-418`), then draw from the
+        # deduped pool.
+        flat_ids = ids.reshape(-1)
+        state = sampler.process_batch(
+            ids=flat_ids,
+            presences=flat_ids != 0,
+            embeddings=model.get_item_embeddings(flat_ids),
         )
-    else:
-        in_batch_sampler, state = sampler
-        assert isinstance(in_batch_sampler, InBatchNegativesSampler)
-        rng = model.make_rng("sampler")
-        sampled_ids, sampled_neg_embeddings = in_batch_sampler.sample(
+        sampled_ids, sampled_neg_embeddings = sampler.sample(
             state, rng, (m, num_negatives)
         )
-        pos_embeddings = maybe_l2_norm(
-            supervision_embeddings.reshape(m, d), in_batch_sampler.l2_norm,
-            in_batch_sampler.l2_norm_eps,
-        )
+    else:
+        raise TypeError(f"Unknown sampler {type(sampler)}")
+    pos_embeddings = maybe_l2_norm(
+        supervision_embeddings.reshape(m, d), sampler.l2_norm,
+        sampler.l2_norm_eps,
+    )
 
     positive_logits, aux_losses = model.similarity_fn(
         q,                                   # (M, D)

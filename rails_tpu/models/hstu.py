@@ -72,6 +72,49 @@ class RelativeBucketedTimeAndPositionBias(nn.Module):
         return (rel_pos_bias[None] + rel_ts_bias).astype(self.dtype)
 
 
+class StackedRelativeBias(nn.Module):
+    """All blocks' relative-attention biases in one pass: (num_blocks, B, N, N).
+
+    Each HSTU block owns independent bias weights (the reference instantiates
+    one `RelativeBucketedTimeAndPositionBasedBias` per block,
+    `hstu.py:584-612`), but the bucketized time-delta *indices* depend only on
+    the timestamps. Computing per block makes XLA re-fuse the (B, N, N)
+    gather into every attention consumer (8 heads x 16 blocks on ML-20M
+    shapes — measured ~8x the encode time on TPU). Here: one bucket
+    computation + one row-gather from a (num_buckets+1, num_blocks) table,
+    fenced with an optimization barrier so the result is materialized once.
+    """
+
+    num_blocks: int
+    max_seq_len: int
+    num_buckets: int = 128
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, timestamps: jnp.ndarray) -> jnp.ndarray:  # (B, N) int
+        n = self.max_seq_len
+        pos_w = self.param(
+            "pos_w", nn.initializers.normal(stddev=0.02),
+            (self.num_blocks, 2 * n - 1),
+        )
+        ts_w = self.param(
+            "ts_w", nn.initializers.normal(stddev=0.02),
+            (self.num_blocks, self.num_buckets + 1),
+        )
+        i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        rel_pos = pos_w[:, j - i + n - 1]                        # (L, N, N)
+
+        ext = jnp.concatenate([timestamps, timestamps[:, n - 1 : n]], axis=1)
+        delta = ext[:, 1:, None] - ext[:, None, :-1]             # (B, N, N)
+        buckets = _bucketize_time_delta(delta, self.num_buckets)
+        # Row gather: (B, N, N) indices into (num_buckets+1, L) -> one gather
+        # with an L-wide payload instead of L scalar gathers.
+        rel_ts = jnp.take(ts_w.T, buckets, axis=0)               # (B, N, N, L)
+        bias = rel_pos[:, None] + jnp.moveaxis(rel_ts, -1, 0)    # (L, B, N, N)
+        return jax.lax.optimization_barrier(bias.astype(self.dtype))
+
+
 class HSTUBlock(nn.Module):
     """One sequential transduction unit (`SequentialTransductionUnitJagged`,
     `hstu.py:218-433`)."""
@@ -85,7 +128,7 @@ class HSTUBlock(nn.Module):
         self,
         x: jnp.ndarray,                 # (B, N, D)
         attn_mask: jnp.ndarray,         # (B, N, N) float {0,1}: causal * col-valid
-        timestamps: Optional[jnp.ndarray],  # (B, N) int or None
+        rel_bias: Optional[jnp.ndarray],  # (B, N, N) precomputed bias or None
         train: bool = False,
     ) -> jnp.ndarray:
         c = self.cfg
@@ -121,14 +164,8 @@ class HSTUBlock(nn.Module):
         qk = jnp.einsum(
             "bnhd,bmhd->bhnm", qh, kh, preferred_element_type=self.dtype
         )
-        if timestamps is not None and c.enable_relative_attention_bias:
-            bias = RelativeBucketedTimeAndPositionBias(
-                max_seq_len=self.max_seq_len,
-                num_buckets=c.num_time_buckets,
-                dtype=self.dtype,
-                name="rel_attn_bias",
-            )(timestamps)
-            qk = qk + bias[:, None, :, :]
+        if rel_bias is not None:
+            qk = qk + rel_bias[:, None, :, :]
 
         if c.normalization in ("rel_bias", "hstu_rel_bias"):
             # Pointwise SiLU attention, normalized by the constant 1/n
@@ -175,13 +212,27 @@ class HSTUStack(nn.Module):
         b, n, _ = x.shape
         causal = jnp.tril(jnp.ones((n, n), dtype=jnp.float32))
         attn_mask = causal[None] * valid[:, None, :].astype(jnp.float32)
+        if timestamps is not None and self.cfg.enable_relative_attention_bias:
+            bias_all = StackedRelativeBias(
+                num_blocks=self.cfg.num_blocks,
+                max_seq_len=self.max_seq_len,
+                num_buckets=self.cfg.num_time_buckets,
+                dtype=self.dtype,
+                name="rel_attn_bias",
+            )(timestamps)
+        else:
+            bias_all = None
         for layer_idx in range(self.cfg.num_blocks):
             x = HSTUBlock(
                 cfg=self.cfg,
                 max_seq_len=self.max_seq_len,
                 dtype=self.dtype,
                 name=f"block_{layer_idx}",
-            )(x, attn_mask, timestamps, train=train)
+            )(
+                x, attn_mask,
+                bias_all[layer_idx] if bias_all is not None else None,
+                train=train,
+            )
         # Reference round-trips through jagged_to_padded_dense at the end,
         # zeroing padded rows (`hstu.py:524-529`).
         return x * valid[..., None].astype(x.dtype)

@@ -1,0 +1,156 @@
+"""Full training driver: epochs, periodic eval, checkpointing, logging.
+
+Reference: `train_fn` (`/root/reference/train.py:109-571`). One process drives
+all local devices through a single jit (no mp.spawn / DDP); per-epoch eval
+truncates to `partial_eval_num_iters` batches except every
+`full_eval_every_n`-th epoch (`train.py:465-535`).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from rails_tpu.core.config import ExperimentConfig
+from rails_tpu.core.mesh import make_mesh, replicate, shard_batch
+from rails_tpu.data.datasets import RecoDataset, get_reco_dataset
+from rails_tpu.train import evaluation as ev
+from rails_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+from rails_tpu.train.loop import TrainState, create_train_state
+from rails_tpu.train.metrics import MetricsWriter
+
+logger = logging.getLogger("rails_tpu")
+
+
+@dataclass
+class TrainResult:
+    state: TrainState
+    final_metrics: Dict[str, float]
+    model: object
+
+
+def run_training(
+    cfg: ExperimentConfig,
+    data_root: str = ".",
+    workdir: Optional[str] = None,
+    restore_from: Optional[str] = None,
+    use_mesh: bool = True,
+    dataset: Optional[RecoDataset] = None,
+    num_epochs: Optional[int] = None,
+) -> TrainResult:
+    t = cfg.train
+    ds = dataset or get_reco_dataset(cfg.data, data_root)
+    max_output_length = t.gr_output_length + 1
+
+    sample_batch = next(
+        ds.train_dataset.batches(
+            batch_size=t.local_batch_size,
+            max_output_length=max_output_length,
+            shuffle=False,
+        )
+    )
+    model, state, train_step, sampler = create_train_state(
+        cfg, ds.max_item_id, ds.all_item_ids, sample_batch
+    )
+
+    mesh = None
+    if use_mesh and jax.device_count() > 1:
+        mesh = make_mesh(cfg.mesh)
+        state = replicate(state, mesh)
+        logger.info("training over mesh %s", dict(mesh.shape))
+
+    run_name = f"{cfg.name}-{cfg.config_hash()}"
+    log_dir = os.path.join(workdir, run_name) if workdir else None
+    ckpt_dir = os.path.join(workdir, run_name, "ckpts") if workdir else None
+    writer = MetricsWriter(log_dir)
+    if ckpt_dir:
+        os.makedirs(ckpt_dir, exist_ok=True)
+
+    epoch0 = 0
+    if restore_from:
+        state, prev_epoch, _ = restore_checkpoint(restore_from, state)
+        epoch0 = prev_epoch + 1
+        if mesh is not None:
+            state = replicate(state, mesh)
+        logger.info("restored %s; resuming at epoch %d", restore_from, epoch0)
+
+    rng = jax.random.PRNGKey(t.random_seed)
+    batch_id = 0
+    epochs = num_epochs if num_epochs is not None else t.num_epochs
+    final_metrics: Dict[str, float] = {}
+    last_log = time.time()
+
+    for epoch in range(epoch0, epochs):
+        for batch in ds.train_dataset.batches(
+            batch_size=t.local_batch_size,
+            max_output_length=max_output_length,
+            shuffle=True,
+            seed=t.random_seed + epoch,
+            drop_last=True,
+        ):
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            state, metrics = train_step(state, batch, rng)
+            if (batch_id % t.eval_interval) == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                writer.write(batch_id, m, prefix="train")
+                logger.info(
+                    "epoch %d batch %d (%.2fs): loss %.6f",
+                    epoch, batch_id, time.time() - last_log, m["loss"],
+                )
+                last_log = time.time()
+            batch_id += 1
+
+        # Per-epoch eval (`train.py:465-535`).
+        is_full = (epoch % t.full_eval_every_n) == 0
+        eval_state = ev.get_eval_state(
+            model, state.params, ds.all_item_ids, t.top_k_method,
+            item_l2_norm=t.item_l2_norm, l2_norm_eps=t.l2_norm_eps,
+        )
+        eval_batches = ds.eval_dataset.batches(
+            batch_size=t.eval_batch_size,
+            max_output_length=max_output_length,
+            shuffle=True,
+            seed=t.random_seed + epoch,
+            drop_last=True,
+        )
+        if not is_full:
+            limited = []
+            for i, b in enumerate(eval_batches):
+                if i >= t.partial_eval_num_iters:
+                    break
+                limited.append(b)
+            eval_batches = limited
+        metrics_arrays, _ = ev.eval_metrics_from_batches(
+            model, state.params, eval_state, eval_batches,
+            k=min(2500, len(ds.all_item_ids)),
+        )
+        summary = ev.summarize_metrics(metrics_arrays)
+        final_metrics = summary
+        writer.write(epoch, summary, prefix="eval_epoch")
+        logger.info(
+            "eval @ epoch %d: NDCG@10 %.4f HR@10 %.4f HR@50 %.4f MRR %.4f",
+            epoch, summary.get("ndcg@10", float("nan")),
+            summary.get("hr@10", float("nan")),
+            summary.get("hr@50", float("nan")),
+            summary.get("mrr", float("nan")),
+        )
+        if ckpt_dir and epoch > 0 and (epoch % t.save_ckpt_every_n) == 0:
+            save_checkpoint(
+                ckpt_dir, state, epoch, batch_id,
+                config_json=cfg.to_json(), debug_str=cfg.model_debug_str(),
+            )
+
+    if ckpt_dir:
+        save_checkpoint(
+            ckpt_dir, state, epochs - 1 if epochs else 0, batch_id,
+            config_json=cfg.to_json(), debug_str=cfg.model_debug_str(),
+        )
+    writer.close()
+    return TrainResult(state=state, final_metrics=final_metrics, model=model)

@@ -56,8 +56,12 @@ def get_eval_state(
     """Embed the entire corpus and build the top-k module
     (`get_eval_state`, `data/eval.py:49-73`)."""
     ids = jnp.asarray(all_item_ids, dtype=jnp.int32)
-    item_emb = model.apply(params, ids, method=model.get_item_embeddings)
-    item_emb = maybe_l2_norm(item_emb, item_l2_norm, l2_norm_eps)
+    item_emb = jax.jit(
+        lambda p, i: maybe_l2_norm(
+            model.apply(p, i, method=model.get_item_embeddings),
+            item_l2_norm, l2_norm_eps,
+        )
+    )(params, ids)
     state = build_mol_topk_state(model, params, ids, item_emb, table_dtype=table_dtype)
     top_k_fn = get_top_k_fn(
         top_k_method, model, params, state, item_embeddings=item_emb

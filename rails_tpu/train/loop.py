@@ -66,17 +66,26 @@ def init_model(
 ) -> Tuple[SequentialRecommender, Any]:
     model = SequentialRecommender(cfg=cfg, num_items=num_items)
     feats = scatter_target(sample_batch.features, sample_batch.target_ids)
-    params = model.init(
-        {"params": rng, "dropout": jax.random.fold_in(rng, 1),
-         "sampler": jax.random.fold_in(rng, 2)},
-        feats,
-        _make_sampler(cfg, num_items, np.arange(1, num_items + 1, dtype=np.int32)),
-        cfg.train.num_negatives,
-        cfg.train.temperature,
-        True,
-        method=sampled_softmax_loss,
+    sampler = _make_sampler(
+        cfg, num_items, np.arange(1, num_items + 1, dtype=np.int32)
     )
-    return model, params
+
+    # jit the init: eager linen init dispatches op-by-op, which is very slow
+    # on remote TPU backends.
+    @jax.jit
+    def _init(rng):
+        return model.init(
+            {"params": rng, "dropout": jax.random.fold_in(rng, 1),
+             "sampler": jax.random.fold_in(rng, 2)},
+            feats,
+            sampler,
+            cfg.train.num_negatives,
+            cfg.train.temperature,
+            True,
+            method=sampled_softmax_loss,
+        )
+
+    return model, _init(rng)
 
 
 def _make_sampler(cfg: ExperimentConfig, num_items: int, all_item_ids: np.ndarray):
@@ -87,10 +96,13 @@ def _make_sampler(cfg: ExperimentConfig, num_items: int, all_item_ids: np.ndarra
             l2_norm=t.item_l2_norm,
             l2_norm_eps=t.l2_norm_eps,
         )
-    raise NotImplementedError(
-        f"sampling_strategy {t.sampling_strategy!r} not wired into the train "
-        "loop yet (in-batch is available via losses.samplers)."
-    )
+    if t.sampling_strategy == "in-batch":
+        return InBatchNegativesSampler(
+            l2_norm=t.item_l2_norm,
+            l2_norm_eps=t.l2_norm_eps,
+            dedup_embeddings=True,
+        )
+    raise ValueError(f"Unknown sampling_strategy {t.sampling_strategy!r}")
 
 
 def make_train_step(
