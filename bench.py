@@ -43,7 +43,13 @@ def main() -> None:
             synthetic_num_users=max(batch_size * 4, 128),
             synthetic_num_items=num_items,
         ),
-        train=cfg.train.replace(local_batch_size=batch_size, num_negatives=128),
+        train=cfg.train.replace(
+            local_batch_size=batch_size, num_negatives=128,
+            # Serving runs bf16 on TPU (reference uses bf16 eval + bf16
+            # component tables too: `eval_from_checkpoint.py:320-321`,
+            # `mol_top_k.py:61-73`).
+            main_module_bf16=True, eval_bf16=True,
+        ),
     )
 
     seqs = generate_synthetic_sequences(

@@ -41,6 +41,13 @@ def get_top_k_fn(
             )
         return wrap(fn)
 
+    if top_k_method == "MoLBruteForceTopKFused":
+        def fn(query_embeddings, k, user_ids=None):
+            return tk.mol_brute_force_top_k_fused(
+                model, params, state, query_embeddings, k, user_ids=user_ids
+            )
+        return wrap(fn)
+
     if top_k_method == "MIPSBruteForceTopK":
         assert item_embeddings is not None
         def fn(query_embeddings, k, user_ids=None):

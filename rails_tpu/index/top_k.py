@@ -48,27 +48,51 @@ class MoLTopKState(NamedTuple):
 
     Mirrors `MoLTopKModule.__init__` (`mol_top_k.py:29-77`): raw item
     embeddings, ids, and the pre-materialized component-level table.
+    `fused_tables` additionally holds the Pallas-kernel-layout corpus for the
+    fused brute-force path (None when the config is outside kernel support).
     """
 
     item_ids: jnp.ndarray            # (X,) int32
     item_tables: MoLItemTables       # components (X, P_X, d_P) + gating (X, L)
     avg_component: jnp.ndarray       # (X, d_P): mean over P_X components
+    fused_tables: Optional["FusedCorpusTables"] = None
 
 
 def build_mol_topk_state(
     model, params, item_ids: jnp.ndarray, item_embeddings: jnp.ndarray,
     table_dtype: jnp.dtype = jnp.bfloat16,
+    build_fused: bool = False,
+    fused_block_x: int = 256,
 ) -> MoLTopKState:
     """Precompute item-side tables for a corpus (X, D).
 
     `table_dtype=bfloat16` matches the reference's bf16 component table
     (`mol_top_k.py:61-73`); the rerank itself runs through the model dtype.
     """
+    from rails_tpu.ops.pallas.mol_scoring import (
+        FusedCorpusTables,
+        pad_corpus_tables,
+    )
+
     tables = jax.jit(
         lambda p, e: model.apply(p, e, method=model.build_item_tables)
     )(params, item_embeddings)
     comp = tables.component_embeddings
     avg = comp.mean(axis=1)
+    fused = None
+    if build_fused and tables.gating_partial is not None:
+
+        @jax.jit
+        def _prep(c, g):
+            c2, g2, _ = pad_corpus_tables(c, g, fused_block_x)
+            return jnp.transpose(c2, (1, 2, 0)), g2.T
+
+        item_t, ip_t = _prep(
+            comp.astype(table_dtype), tables.gating_partial.astype(table_dtype)
+        )
+        fused = FusedCorpusTables(
+            item_comp_t=item_t, item_partial_t=ip_t, num_items=comp.shape[0]
+        )
     return MoLTopKState(
         item_ids=item_ids.astype(jnp.int32),
         item_tables=MoLItemTables(
@@ -79,6 +103,7 @@ def build_mol_topk_state(
             ),
         ),
         avg_component=avg.astype(table_dtype),
+        fused_tables=fused,
     )
 
 
@@ -98,6 +123,42 @@ def mol_brute_force_top_k(
         params, query_embeddings, state.item_tables, user_ids=user_ids,
         method=model.score_precomputed,
     )                                          # (B, X)
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    return TopKResult(scores=top_scores, ids=state.item_ids[top_idx])
+
+
+def mol_brute_force_top_k_fused(
+    model, params, state: MoLTopKState,
+    query_embeddings: jnp.ndarray,            # (B, D)
+    k: int,
+    user_ids: Optional[jnp.ndarray] = None,
+    block_x: int = 256,
+) -> TopKResult:
+    """Exact MoL over the whole corpus through the fused Pallas kernel
+    (`rails_tpu/ops/pallas/mol_scoring.py`). Semantics identical to
+    `mol_brute_force_top_k`; the (B, X, L) logits and gating activations
+    never touch HBM."""
+    from rails_tpu.ops.pallas.mol_scoring import (
+        extract_gating_qi_weights,
+        fused_mol_scores_t,
+    )
+
+    assert state.fused_tables is not None, (
+        "build_mol_topk_state(..., build_fused=True) required for the fused path"
+    )
+    ft = state.fused_tables
+    q_comp = model.apply(
+        params, query_embeddings, user_ids, method=model.query_components
+    )
+    qp = model.apply(
+        params, query_embeddings, method=model.query_gating_partial
+    )
+    weights = extract_gating_qi_weights(params)
+    scores = fused_mol_scores_t(
+        q_comp.astype(ft.item_comp_t.dtype), qp,
+        ft.item_comp_t, ft.item_partial_t, weights,
+        float(model.cfg.mol.temperature), block_x=block_x,
+    )[:, : ft.num_items]
     top_scores, top_idx = jax.lax.top_k(scores, k)
     return TopKResult(scores=top_scores, ids=state.item_ids[top_idx])
 
@@ -199,23 +260,30 @@ def mol_avg_top_k(
     user_ids: Optional[jnp.ndarray] = None,
 ) -> TopKResult:
     """Average-embedding MIPS prefilter + exact rerank
-    (`MoLAvgTopK.forward`, `mol_top_k.py:328-396`)."""
+    (`MoLAvgTopK.forward`, `mol_top_k.py:328-396`). The four
+    `jax.named_scope` phases mirror the reference's torch.profiler
+    `record_function` scopes (`mol_top_k.py:350-371`) for trace tooling.
+    """
     q_comp = model.apply(
         params, query_embeddings, user_ids, method=model.query_components
     )                                          # (B, P_Q, d_P)
-    q_avg = q_comp.sum(axis=1)                 # sum, not mean (`mol_top_k.py:352`)
-    avg_scores = jnp.einsum(
-        "bd,xd->bx", q_avg.astype(state.avg_component.dtype), state.avg_component,
-        preferred_element_type=jnp.float32,
-    )
-    _, cand = jax.lax.top_k(avg_scores, avg_top_k)   # (B, avg_top_k)
-    scores = model.apply(
-        params, query_embeddings, state.item_tables, user_ids=user_ids,
-        item_indices=cand, method=model.score_precomputed,
-    )
-    kk = min(k, avg_top_k)
-    top_scores, pos = jax.lax.top_k(scores, kk)
-    top_idx = jnp.take_along_axis(cand, pos, axis=1)
+    with jax.named_scope("avg_top_k_scoring"):
+        q_avg = q_comp.sum(axis=1)             # sum, not mean (`mol_top_k.py:352`)
+        avg_scores = jnp.einsum(
+            "bd,xd->bx", q_avg.astype(state.avg_component.dtype),
+            state.avg_component, preferred_element_type=jnp.float32,
+        )
+    with jax.named_scope("avg_topk_selection"):
+        _, cand = jax.lax.top_k(avg_scores, avg_top_k)   # (B, avg_top_k)
+    with jax.named_scope("filtered_scoring"):
+        scores = model.apply(
+            params, query_embeddings, state.item_tables, user_ids=user_ids,
+            item_indices=cand, method=model.score_precomputed,
+        )
+    with jax.named_scope("final_topk"):
+        kk = min(k, avg_top_k)
+        top_scores, pos = jax.lax.top_k(scores, kk)
+        top_idx = jnp.take_along_axis(cand, pos, axis=1)
     return TopKResult(scores=top_scores, ids=state.item_ids[top_idx])
 
 

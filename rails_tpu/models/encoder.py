@@ -158,3 +158,6 @@ class SequentialRecommender(nn.Module):
             query_embeddings, user_ids=user_ids, train=False
         )
         return comps
+
+    def query_gating_partial(self, query_embeddings: jnp.ndarray):
+        return self.similarity.query_gating_partial(query_embeddings)

@@ -1,0 +1,243 @@
+"""Fused MoL corpus-scoring Pallas kernel.
+
+The serving hot loop of RAILS is scoring B queries against X corpus items with
+the Mixture-of-Logits similarity (`/root/reference/rails/similarities/mol/
+similarity_fn.py:341-413` + the qi gating MLP). The XLA path materializes the
+(B, X, L) component logits and the (B, X, H) gating hidden layer in HBM —
+several hundred MB of traffic per batch at ML-20M scale. This kernel runs the
+whole pipeline per corpus block in VMEM:
+
+    logits[l=(n,m)] = <q_n, x_m> / T            (P_Q x P_X component matmuls)
+    qi      = W2' silu(W1' logits + b1) + b2    (gating qi MLP)
+    gi      = qp (x) ip + qi ; gw = gi*sigmoid(gi)   ("glu_silu" combination)
+    out     = sum_l softmax_l(gw) * logits
+
+laid out "logit-major" (L, B, TX): component logits write as full rows, the
+gating MLP contracts over the sublane dimension, and the softmax reduces over
+L — no transposes anywhere. HBM traffic drops to reading the item tables once
+and writing (B, X) scores.
+
+Supported config: gating_combination_type="glu_silu" with query+item gating
+partials and a hidden qi MLP — the configuration every published RAILS
+experiment uses. Other combinations fall back to the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(
+    q_ref,        # (P_Q, B, d_P)        query component embeddings
+    qp_ref,       # (L, B)               query gating partial
+    item_ref,     # (P_X, d_P, TX)       item component block (transposed)
+    ip_ref,       # (L, TX)              item gating partial block
+    w1_ref,       # (L, H)
+    b1_ref,       # (1, H)
+    w2_ref,       # (H, L)
+    b2_ref,       # (1, L)
+    out_ref,      # (B, TX)
+    logits_ref,   # scratch (L, B, TX) f32
+    *,
+    p_q: int,
+    p_x: int,
+    inv_temperature: float,
+):
+    b = q_ref.shape[1]
+    tx = item_ref.shape[2]
+    l = p_q * p_x
+
+    # Component logits, one (B, TX) row per (n, m) pair, scaled by 1/T.
+    for n in range(p_q):
+        qn = q_ref[n]                          # (B, d_P)
+        for m in range(p_x):
+            im = item_ref[m]                   # (d_P, TX)
+            logits_ref[n * p_x + m] = (
+                jnp.dot(qn, im, preferred_element_type=jnp.float32)
+                * inv_temperature
+            )
+
+    logits = logits_ref[:].reshape(l, b * tx)              # (L, B*TX) f32
+
+    # qi gating MLP, contracting over the logit (sublane) axis.
+    h = jax.lax.dot_general(
+        w1_ref[:], logits,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                       # (H, B*TX)
+    h = jax.nn.silu(h + b1_ref[0][:, None])
+    qi = jax.lax.dot_general(
+        w2_ref[:], h,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                       # (L, B*TX)
+    qi = (qi + b2_ref[0][:, None]).reshape(l, b, tx)
+
+    # glu_silu combination: gi = qp*ip + qi; gw = gi * sigmoid(gi).
+    gi = (
+        qp_ref[:].astype(jnp.float32)[:, :, None]
+        * ip_ref[:].astype(jnp.float32)[:, None, :]
+        + qi
+    )
+    gw = gi * jax.nn.sigmoid(gi)
+
+    # Softmax over the logit axis and the weighted combine.
+    gw_max = jnp.max(gw, axis=0, keepdims=True)
+    e = jnp.exp(gw - gw_max)
+    pi = e / jnp.sum(e, axis=0, keepdims=True)
+    out_ref[:] = jnp.sum(pi * logits_ref[:], axis=0)
+
+
+class MoLKernelWeights(NamedTuple):
+    """Gating-MLP weights extracted from the flax param tree."""
+
+    w1: jnp.ndarray   # (L, H)
+    b1: jnp.ndarray   # (1, H)
+    w2: jnp.ndarray   # (H, L)
+    b2: jnp.ndarray   # (1, L)
+
+
+def extract_gating_qi_weights(params) -> MoLKernelWeights:
+    """Pull the qi gating MLP weights out of a SequentialRecommender tree
+    (under 'mol') or a bare MoLSimilarity tree."""
+    p = params["params"]
+    if "mol" in p:
+        p = p["mol"]
+    p = p["gating_qi"]
+    return MoLKernelWeights(
+        w1=p["hidden"]["kernel"],
+        b1=p["hidden"]["bias"][None, :],
+        w2=p["out"]["kernel"],
+        b2=p["out"]["bias"][None, :],
+    )
+
+
+class FusedCorpusTables(NamedTuple):
+    """Kernel-layout corpus tables, padded to a block multiple."""
+
+    item_comp_t: jnp.ndarray      # (P_X, d_P, X_padded)
+    item_partial_t: jnp.ndarray   # (L, X_padded)
+    num_items: int                # original (unpadded) X
+
+
+def prepare_fused_tables(
+    item_comp: jnp.ndarray,       # (X, P_X, d_P)
+    item_partial: jnp.ndarray,    # (X, L)
+    block_x: int = 256,
+) -> FusedCorpusTables:
+    """One-time per-corpus transpose + pad into kernel layout."""
+    item_comp, item_partial, x = pad_corpus_tables(
+        item_comp, item_partial, block_x
+    )
+    return FusedCorpusTables(
+        item_comp_t=jnp.transpose(item_comp, (1, 2, 0)),
+        item_partial_t=item_partial.T,
+        num_items=x,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("temperature", "block_x", "interpret"),
+)
+def fused_mol_scores_t(
+    q_comp: jnp.ndarray,          # (B, P_Q, d_P)
+    query_partial: jnp.ndarray,   # (B, L)
+    item_comp_t: jnp.ndarray,     # (P_X, d_P, X) — kernel layout, X padded
+    item_partial_t: jnp.ndarray,  # (L, X)
+    weights: MoLKernelWeights,
+    temperature: float,
+    block_x: int = 256,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """(B, X) MoL scores against pre-transposed corpus tables.
+
+    `interpret=None` auto-selects interpreter mode on CPU (tests / virtual
+    meshes run the same code path; the 'axon'-tunneled TPU compiles)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, p_q, d_p = q_comp.shape
+    p_x, _, x = item_comp_t.shape
+    l = p_q * p_x
+    h = weights.w1.shape[1]
+    assert x % block_x == 0, f"X={x} not a multiple of block_x={block_x}"
+    assert weights.w1.shape[0] == l and weights.w2.shape == (h, l)
+
+    qT = jnp.transpose(q_comp, (1, 0, 2))                  # (P_Q, B, d_P)
+    qpT = query_partial.T                                  # (L, B)
+    itemT = item_comp_t
+    ipT = item_partial_t
+
+    grid = (x // block_x,)
+    kernel = functools.partial(
+        _kernel, p_q=p_q, p_x=p_x, inv_temperature=1.0 / temperature
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((p_q, b, d_p), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((l, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p_x, d_p, block_x), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((l, block_x), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((l, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, l), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, block_x), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, x), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((l, b, block_x), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * x * l * (d_p + 2 * h),
+            bytes_accessed=(
+                itemT.size * itemT.dtype.itemsize
+                + ipT.size * ipT.dtype.itemsize
+                + b * x * 4
+            ),
+            transcendentals=b * x * l * 2,
+        ),
+        interpret=interpret,
+    )(qT, qpT, itemT, ipT, weights.w1, weights.b1, weights.w2, weights.b2)
+
+
+def fused_mol_scores(
+    q_comp: jnp.ndarray,          # (B, P_Q, d_P)
+    query_partial: jnp.ndarray,   # (B, L)
+    item_comp: jnp.ndarray,       # (X, P_X, d_P) — X padded to block_x
+    item_partial: jnp.ndarray,    # (X, L)
+    weights: MoLKernelWeights,
+    temperature: float,
+    block_x: int = 256,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """(B, X) scores from standard-layout tables (transposes per call;
+    prefer `prepare_fused_tables` + `fused_mol_scores_t` for serving)."""
+    return fused_mol_scores_t(
+        q_comp, query_partial,
+        jnp.transpose(item_comp, (1, 2, 0)), item_partial.T,
+        weights, temperature, block_x=block_x, interpret=interpret,
+    )
+
+
+def pad_corpus_tables(
+    item_comp: jnp.ndarray, item_partial: jnp.ndarray, block_x: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
+    """Zero-pad the corpus axis to a multiple of block_x; returns padded
+    tables + the original X (callers slice scores back to X)."""
+    x = item_comp.shape[0]
+    pad = (-x) % block_x
+    if pad:
+        item_comp = jnp.pad(item_comp, ((0, pad), (0, 0), (0, 0)))
+        item_partial = jnp.pad(item_partial, ((0, pad), (0, 0)))
+    return item_comp, item_partial, x

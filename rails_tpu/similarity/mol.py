@@ -234,6 +234,14 @@ class MoLSimilarity(nn.Module):
             return None
         return self.gating_item(item_embeddings, train=train)
 
+    def query_gating_partial(
+        self, query_embeddings: jnp.ndarray
+    ) -> Optional[jnp.ndarray]:
+        """(B, D) -> (B, L) query-only gating input, or None if disabled."""
+        if self.gating_query is None:
+            return None
+        return self.gating_query(query_embeddings, train=False)
+
     def build_item_tables(self, item_embeddings: jnp.ndarray) -> MoLItemTables:
         """Precompute per-item state for indexing. item_embeddings: (X, D')."""
         return MoLItemTables(

@@ -62,7 +62,10 @@ def get_eval_state(
             item_l2_norm, l2_norm_eps,
         )
     )(params, ids)
-    state = build_mol_topk_state(model, params, ids, item_emb, table_dtype=table_dtype)
+    state = build_mol_topk_state(
+        model, params, ids, item_emb, table_dtype=table_dtype,
+        build_fused="Fused" in top_k_method,
+    )
     top_k_fn = get_top_k_fn(
         top_k_method, model, params, state, item_embeddings=item_emb
     )

@@ -61,10 +61,21 @@ def scatter_target(features: SequentialFeatures, target_ids: jnp.ndarray) -> Seq
     return features._replace(ids=ids)
 
 
+def model_dtype(cfg: ExperimentConfig):
+    """Compute dtype policy: bf16 compute with fp32 params when the config
+    enables bf16 (`main_module_bf16` / MoL `bf16_training`,
+    `train.py:286,320`); fp32 otherwise."""
+    if cfg.train.main_module_bf16 or cfg.mol.bf16_training:
+        return jnp.bfloat16
+    return jnp.float32
+
+
 def init_model(
     cfg: ExperimentConfig, num_items: int, rng: jax.Array, sample_batch: Batch
 ) -> Tuple[SequentialRecommender, Any]:
-    model = SequentialRecommender(cfg=cfg, num_items=num_items)
+    model = SequentialRecommender(
+        cfg=cfg, num_items=num_items, dtype=model_dtype(cfg)
+    )
     feats = scatter_target(sample_batch.features, sample_batch.target_ids)
     sampler = _make_sampler(
         cfg, num_items, np.arange(1, num_items + 1, dtype=np.int32)

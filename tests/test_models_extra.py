@@ -1,0 +1,224 @@
+"""Tests for SASRec, embedding modules, extra preprocessors, losses, and the
+DotProduct similarity path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rails_tpu.core.config import get_experiment_config
+from rails_tpu.data.datasets import get_reco_dataset
+from rails_tpu.losses.bce import bce_loss, bce_loss_with_ratings
+from rails_tpu.models.embedding import CategoricalEmbeddingModule, LocalEmbeddingModule
+from rails_tpu.models.preprocessors import (
+    CombinedItemAndRatingInputPreprocessor,
+    LearnablePositionalEmbeddingRatedInputPreprocessor,
+)
+from rails_tpu.train.loop import create_train_state, scatter_target, _make_sampler
+
+
+@pytest.fixture(scope="module")
+def sasrec_setup():
+    cfg = get_experiment_config("synthetic-small")
+    cfg = cfg.replace(
+        model_type="SASRec",
+        data=cfg.data.replace(synthetic_num_users=128, synthetic_num_items=200),
+        train=cfg.train.replace(local_batch_size=8, num_negatives=8),
+    )
+    ds = get_reco_dataset(cfg.data)
+    batches = list(
+        ds.train_dataset.batches(
+            batch_size=8, max_output_length=cfg.train.gr_output_length + 1,
+            shuffle=True, seed=0, drop_last=True,
+        )
+    )
+    model, state, train_step, _ = create_train_state(
+        cfg, ds.max_item_id, ds.all_item_ids, batches[0]
+    )
+    return cfg, ds, model, state, train_step, batches
+
+
+class TestSASRec:
+    def test_trains(self, sasrec_setup):
+        cfg, ds, model, state, train_step, batches = sasrec_setup
+        # The train step donates its input state; keep the fixture's copy
+        # alive for the other tests.
+        state = jax.tree_util.tree_map(jnp.copy, state)
+        rng = jax.random.PRNGKey(0)
+        losses = []
+        for _ in range(3):
+            for b in batches[:4]:
+                state, m = train_step(state, b, rng)
+                losses.append(float(m["loss"]))
+        assert all(np.isfinite(losses))
+        assert np.mean(losses[-4:]) < np.mean(losses[:4])
+
+    def test_causality(self, sasrec_setup):
+        cfg, ds, model, state, train_step, batches = sasrec_setup
+        feats = batches[0].features
+        out1 = model.apply(state.params, feats, method=model.encode_sequence)
+        pos = int(feats.lengths[0]) - 1
+        ids2 = feats.ids.at[0, pos].set((int(feats.ids[0, pos]) % 100) + 1)
+        out2 = model.apply(
+            state.params, feats._replace(ids=ids2), method=model.encode_sequence
+        )
+        a, b = np.asarray(out1), np.asarray(out2)
+        np.testing.assert_allclose(a[0, :pos], b[0, :pos], rtol=1e-5, atol=1e-6)
+        assert np.abs(a[0, pos] - b[0, pos]).max() > 1e-6
+
+
+class TestDotProductPath:
+    def test_trains_with_dot_product(self):
+        cfg = get_experiment_config("synthetic-small")
+        cfg = cfg.replace(
+            similarity_type="DotProduct",
+            data=cfg.data.replace(synthetic_num_users=64, synthetic_num_items=100),
+            train=cfg.train.replace(
+                local_batch_size=8, num_negatives=8, loss_weights=(),
+                temperature=0.05, item_l2_norm=True,
+            ),
+        )
+        ds = get_reco_dataset(cfg.data)
+        batch = next(
+            ds.train_dataset.batches(
+                batch_size=8, max_output_length=cfg.train.gr_output_length + 1,
+                shuffle=False,
+            )
+        )
+        model, state, train_step, _ = create_train_state(
+            cfg, ds.max_item_id, ds.all_item_ids, batch
+        )
+        state, m = train_step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(m["loss"]))
+
+
+class TestInBatchSampling:
+    def test_trains_with_in_batch(self):
+        cfg = get_experiment_config("synthetic-small")
+        cfg = cfg.replace(
+            data=cfg.data.replace(synthetic_num_users=64, synthetic_num_items=100),
+            train=cfg.train.replace(
+                local_batch_size=8, num_negatives=8,
+                sampling_strategy="in-batch",
+            ),
+        )
+        ds = get_reco_dataset(cfg.data)
+        batch = next(
+            ds.train_dataset.batches(
+                batch_size=8, max_output_length=cfg.train.gr_output_length + 1,
+                shuffle=False,
+            )
+        )
+        model, state, train_step, _ = create_train_state(
+            cfg, ds.max_item_id, ds.all_item_ids, batch
+        )
+        state, m = train_step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(m["loss"]))
+
+    def test_in_batch_samples_only_batch_ids(self):
+        from rails_tpu.losses.samplers import InBatchNegativesSampler
+
+        sampler = InBatchNegativesSampler(dedup_embeddings=True)
+        ids = jnp.array([5, 3, 5, 9, 0, 3])
+        pres = ids != 0
+        emb = jnp.arange(6, dtype=jnp.float32)[:, None] * jnp.ones((1, 4))
+        state = sampler.process_batch(ids, pres, emb)
+        assert int(state.num_unique) == 3
+        sampled_ids, sampled_emb = sampler.sample(
+            state, jax.random.PRNGKey(0), (500,)
+        )
+        uniq, counts = np.unique(np.asarray(sampled_ids), return_counts=True)
+        assert set(uniq.tolist()) == {3, 5, 9}
+        # Roughly uniform over the deduped pool.
+        assert counts.min() > 100
+
+
+class TestBCELosses:
+    def _setup(self):
+        cfg = get_experiment_config("synthetic-small")
+        cfg = cfg.replace(
+            data=cfg.data.replace(synthetic_num_users=64, synthetic_num_items=100),
+            train=cfg.train.replace(local_batch_size=8, num_negatives=1,
+                                    temperature=1.0),
+        )
+        ds = get_reco_dataset(cfg.data)
+        batch = next(
+            ds.train_dataset.batches(
+                batch_size=8, max_output_length=cfg.train.gr_output_length + 1,
+                shuffle=False,
+            )
+        )
+        model, state, _, sampler = create_train_state(
+            cfg, ds.max_item_id, ds.all_item_ids, batch
+        )
+        feats = scatter_target(batch.features, batch.target_ids)
+        return model, state.params, feats, sampler
+
+    def test_bce_loss_finite(self):
+        model, params, feats, sampler = self._setup()
+        loss, aux = model.apply(
+            params, feats, sampler, 1.0, True, method=bce_loss,
+            rngs={"dropout": jax.random.PRNGKey(0),
+                  "sampler": jax.random.PRNGKey(1)},
+        )
+        assert np.isfinite(float(loss)) and float(loss) > 0
+
+    def test_bce_with_ratings_finite(self):
+        model, params, feats, sampler = self._setup()
+        loss, aux = model.apply(
+            params, feats, sampler, 1.0, True, method=bce_loss_with_ratings,
+            rngs={"dropout": jax.random.PRNGKey(0),
+                  "sampler": jax.random.PRNGKey(1)},
+        )
+        assert np.isfinite(float(loss))
+
+
+class TestEmbeddingModules:
+    def test_local_padding_row_zero(self):
+        mod = LocalEmbeddingModule(num_items=10, item_embedding_dim=4)
+        p = mod.init(jax.random.PRNGKey(0), jnp.array([0, 1]))
+        out = mod.apply(p, jnp.array([0, 3]))
+        np.testing.assert_allclose(np.asarray(out[0]), 0.0)
+        assert np.abs(np.asarray(out[1])).sum() > 0
+
+    def test_categorical_remap(self):
+        remap = jnp.array([0, 0, 1, 1, 2])   # items 1..5 -> categories
+        mod = CategoricalEmbeddingModule(
+            num_categories=3, item_embedding_dim=4, item_id_to_category_id=remap
+        )
+        p = mod.init(jax.random.PRNGKey(0), jnp.array([1]))
+        out = mod.apply(p, jnp.array([1, 2, 3, 4, 0]))
+        a = np.asarray(out)
+        np.testing.assert_allclose(a[0], a[1])     # same category 0
+        np.testing.assert_allclose(a[2], a[3])     # same category 1
+        assert np.abs(a[0] - a[2]).max() > 0
+        np.testing.assert_allclose(a[4], 0.0)      # padding stays zero
+
+
+class TestExtraPreprocessors:
+    def test_rated_preproc_shapes(self):
+        mod = LearnablePositionalEmbeddingRatedInputPreprocessor(
+            max_sequence_len=10, item_embedding_dim=6, rating_embedding_dim=2,
+            num_ratings=6, dropout_rate=0.0,
+        )
+        lengths = jnp.array([3, 5])
+        emb = jnp.ones((2, 10, 6))
+        ratings = jnp.ones((2, 10), jnp.int32)
+        p = mod.init(jax.random.PRNGKey(0), lengths, emb, ratings)
+        x, valid = mod.apply(p, lengths, emb, ratings)
+        assert x.shape == (2, 10, 8)
+        assert np.asarray(x)[0, 3:].sum() == 0   # masked beyond length
+
+    def test_combined_preproc_interleaves(self):
+        mod = CombinedItemAndRatingInputPreprocessor(
+            max_sequence_len=20, embedding_dim=6, rating_embedding_dim=6,
+            num_ratings=6, dropout_rate=0.0,
+        )
+        lengths = jnp.array([2])
+        emb = jnp.ones((1, 5, 6))
+        ratings = jnp.ones((1, 5), jnp.int32)
+        p = mod.init(jax.random.PRNGKey(0), lengths, emb, ratings)
+        x, valid, new_lengths = mod.apply(p, lengths, emb, ratings)
+        assert x.shape == (1, 10, 6)
+        assert int(new_lengths[0]) == 4
+        assert np.asarray(valid)[0].tolist() == [True] * 4 + [False] * 6
