@@ -64,7 +64,25 @@ class SequenceDataset:
         return len(self._valid_users)
 
     def rows(self, indices: np.ndarray):
-        """Materialize fixed-shape host arrays for a batch of example indices."""
+        """Materialize fixed-shape host arrays for a batch of example indices.
+
+        Uses the native C++ assembler (`native/sequence_loader.cpp`) when
+        built; otherwise the NumPy loop below.
+        """
+        from rails_tpu.data import native
+
+        if native.available():
+            out = native.assemble_batch_native(
+                self._seqs,
+                self._valid_users[np.asarray(indices)],
+                self._max_seq_len,
+                self._ignore_last_n,
+            )
+            if out is not None:
+                return out
+        return self._rows_numpy(indices)
+
+    def _rows_numpy(self, indices: np.ndarray):
         n = self._max_seq_len
         b = len(indices)
         hist_ids = np.zeros((b, n), dtype=np.int32)
@@ -213,6 +231,14 @@ def load_sasrec_format_csv(path: str, shift_id_by: int = 0) -> RaggedSequences:
             "`python -m rails_tpu.cli.preprocess` with network access or "
             "use the synthetic dataset."
         )
+    from rails_tpu.data import native
+
+    if native.available():
+        seqs = native.parse_sasrec_csv_native(path)
+        if seqs is not None:
+            if shift_id_by:
+                seqs.item_ids += shift_id_by
+            return seqs
     user_ids: List[int] = []
     flat_ids: List[np.ndarray] = []
     flat_ratings: List[np.ndarray] = []

@@ -1,0 +1,88 @@
+"""Native C++ loader vs the NumPy reference implementations."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rails_tpu.data import native
+from rails_tpu.data.datasets import (
+    RaggedSequences,
+    SequenceDataset,
+    generate_synthetic_sequences,
+    load_sasrec_format_csv,
+)
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native loader not built (no toolchain)"
+)
+
+
+def _write_csv(tmp_path, rows):
+    path = os.path.join(tmp_path, "sasrec_format.csv")
+    with open(path, "w") as f:
+        f.write(
+            "index,user_id,sequence_item_ids,sequence_ratings,"
+            "sequence_timestamps\n"
+        )
+        for i, (uid, ids, ratings, ts) in enumerate(rows):
+            f.write(
+                f'{i},{uid},"{list(ids)}","{list(ratings)}","{list(ts)}"\n'
+            )
+    return path
+
+
+def test_native_csv_parse(tmp_path):
+    rows = [
+        (7, [1, 2, 3], [5, 4, 3], [100, 200, 300]),
+        (9, [10, 20], [1, 2], [111, 222]),
+    ]
+    path = _write_csv(str(tmp_path), rows)
+    seqs = native.parse_sasrec_csv_native(path)
+    assert seqs is not None
+    np.testing.assert_array_equal(seqs.user_ids, [7, 9])
+    np.testing.assert_array_equal(seqs.offsets, [0, 3, 5])
+    np.testing.assert_array_equal(seqs.item_ids, [1, 2, 3, 10, 20])
+    np.testing.assert_array_equal(seqs.ratings, [5, 4, 3, 1, 2])
+    np.testing.assert_array_equal(seqs.timestamps, [100, 200, 300, 111, 222])
+
+
+def test_native_parse_matches_python(tmp_path):
+    rng = np.random.default_rng(0)
+    rows = []
+    for uid in range(20):
+        L = int(rng.integers(2, 30))
+        rows.append(
+            (uid, rng.integers(1, 1000, L).tolist(),
+             rng.integers(1, 6, L).tolist(),
+             np.sort(rng.integers(1, 10**9, L)).tolist())
+        )
+    path = _write_csv(str(tmp_path), rows)
+    nat = native.parse_sasrec_csv_native(path)
+    # Force the pure-python path by parsing manually.
+    import csv as _csv
+    with open(path) as f:
+        py_rows = list(_csv.DictReader(f))
+    assert len(py_rows) == nat.num_users
+    for i, rec in enumerate(py_rows):
+        ids = np.fromstring(
+            rec["sequence_item_ids"].strip("[]"), dtype=np.int64, sep=","
+        )
+        s, e = nat.offsets[i], nat.offsets[i + 1]
+        np.testing.assert_array_equal(nat.item_ids[s:e], ids)
+
+
+def test_native_batch_assembly_matches_numpy():
+    seqs = generate_synthetic_sequences(
+        num_users=64, num_items=500, max_len=40, seed=3
+    )
+    for ignore_last_n in (0, 1):
+        ds = SequenceDataset(seqs, max_sequence_length=16,
+                             ignore_last_n=ignore_last_n)
+        idx = np.arange(min(32, len(ds)))
+        nat = native.assemble_batch_native(
+            seqs, ds._valid_users[idx], 16, ignore_last_n
+        )
+        ref = ds._rows_numpy(idx)
+        for a, b in zip(nat, ref):
+            np.testing.assert_array_equal(a, b)
