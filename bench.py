@@ -40,7 +40,7 @@ def main() -> None:
     cfg = cfg.replace(
         data=cfg.data.replace(
             dataset_name="synthetic",
-            synthetic_num_users=max(batch_size * 4, 128),
+            synthetic_num_users=1024,
             synthetic_num_items=num_items,
         ),
         train=cfg.train.replace(
@@ -59,34 +59,42 @@ def main() -> None:
         seed=0,
     )
     train_ds = SequenceDataset(seqs, cfg.data.max_sequence_length, ignore_last_n=1)
-    batch = next(
+    batches = []
+    for i, b in enumerate(
         train_ds.batches(
             batch_size=batch_size,
             max_output_length=cfg.train.gr_output_length + 1,
-            shuffle=False,
+            shuffle=True,
+            seed=1,
         )
-    )
+    ):
+        batches.append(b)
+        if len(batches) >= 20:
+            break
+    batch = batches[0]
     all_item_ids = np.arange(1, num_items + 1, dtype=np.int32)
     model, state, _, _ = create_train_state(cfg, num_items, all_item_ids, batch)
     params = state.params
 
     es = get_eval_state(
-        model, params, all_item_ids, "MoLBruteForceTopK",
+        model, params, all_item_ids, "MoLBruteForceTopKFused",
         table_dtype=jnp.bfloat16,
     )
     step = make_eval_step(
         model, es, k=120, filter_invalid_ids=True, truncate_k_prime_to=200,
     )
 
-    feats, targets = batch.features, batch.target_ids
+    # Warmup (compile), then time DISTINCT batches — identical repeated calls
+    # can be deduplicated/cached by remote backends, which would fake the
+    # throughput number.
     for _ in range(3):
-        ranks, ids, scores = step(params, feats, targets)
+        ranks, ids, scores = step(params, batch.features, batch.target_ids)
     jax.block_until_ready(ranks)
 
-    runs = 20
+    runs = len(batches)
     t0 = time.perf_counter()
-    for _ in range(runs):
-        ranks, ids, scores = step(params, feats, targets)
+    for b in batches:
+        ranks, ids, scores = step(params, b.features, b.target_ids)
     jax.block_until_ready(ranks)
     dt = (time.perf_counter() - t0) / runs
     qps = batch_size / dt

@@ -119,6 +119,51 @@ class SequentialRecommender(nn.Module):
         return seq[jnp.arange(b), features.lengths - 1]
 
     # --------------------------------------------------------------- #
+    # Incremental decode (HSTU KV-cache; the reference's delta_x_offsets
+    # path, `hstu.py:141,161-187,301-332`).
+    # --------------------------------------------------------------- #
+
+    def encode_prefill(self, features: SequentialFeatures):
+        """Full forward that also returns per-layer K/V caches.
+
+        Returns (current_embeddings (B, D), cache)."""
+        c = self.cfg
+        if c.model_type != "HSTU":
+            raise NotImplementedError("incremental decode is HSTU-only")
+        emb = self.item_emb(features.ids).astype(self.dtype)
+        x, _ = self.preproc(features.lengths, emb, train=False)
+        valid = length_mask(features.lengths, x.shape[1])
+        x = x * valid[..., None].astype(x.dtype)
+        y, cache = self.encoder_stack.prefill(x, valid, features.timestamps)
+        seq = postprocess_output(
+            y.astype(jnp.float32), c.train.user_embedding_norm,
+            c.train.item_embedding_dim,
+        )
+        b = seq.shape[0]
+        return seq[jnp.arange(b), features.lengths - 1], cache
+
+    def decode_step(
+        self,
+        new_ids: jnp.ndarray,            # (B,) appended item ids
+        features: SequentialFeatures,    # timestamps already cover position+1
+        cache,
+    ):
+        """Append one item per row at position `lengths` and return the new
+        encoder state. Returns (embeddings (B, D), cache)."""
+        c = self.cfg
+        position = features.lengths      # new item goes at index `length`
+        emb_t = self.item_emb(new_ids).astype(self.dtype)
+        x_t = self.preproc.at_position(emb_t, position)
+        y_t, cache = self.encoder_stack.decode_step(
+            x_t, cache, position, features.timestamps
+        )
+        out = postprocess_output(
+            y_t.astype(jnp.float32), c.train.user_embedding_norm,
+            c.train.item_embedding_dim,
+        )
+        return out, cache
+
+    # --------------------------------------------------------------- #
 
     def similarity_fn(
         self,

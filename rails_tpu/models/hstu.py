@@ -90,29 +90,52 @@ class StackedRelativeBias(nn.Module):
     num_buckets: int = 128
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, timestamps: jnp.ndarray) -> jnp.ndarray:  # (B, N) int
-        n = self.max_seq_len
-        pos_w = self.param(
+    def setup(self):
+        self.pos_w = self.param(
             "pos_w", nn.initializers.normal(stddev=0.02),
-            (self.num_blocks, 2 * n - 1),
+            (self.num_blocks, 2 * self.max_seq_len - 1),
         )
-        ts_w = self.param(
+        self.ts_w = self.param(
             "ts_w", nn.initializers.normal(stddev=0.02),
             (self.num_blocks, self.num_buckets + 1),
         )
+
+    def __call__(self, timestamps: jnp.ndarray) -> jnp.ndarray:  # (B, N) int
+        n = self.max_seq_len
         i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
         j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-        rel_pos = pos_w[:, j - i + n - 1]                        # (L, N, N)
+        rel_pos = self.pos_w[:, j - i + n - 1]                   # (L, N, N)
 
         ext = jnp.concatenate([timestamps, timestamps[:, n - 1 : n]], axis=1)
         delta = ext[:, 1:, None] - ext[:, None, :-1]             # (B, N, N)
         buckets = _bucketize_time_delta(delta, self.num_buckets)
         # Row gather: (B, N, N) indices into (num_buckets+1, L) -> one gather
         # with an L-wide payload instead of L scalar gathers.
-        rel_ts = jnp.take(ts_w.T, buckets, axis=0)               # (B, N, N, L)
+        rel_ts = jnp.take(self.ts_w.T, buckets, axis=0)          # (B, N, N, L)
         bias = rel_pos[:, None] + jnp.moveaxis(rel_ts, -1, 0)    # (L, B, N, N)
         return jax.lax.optimization_barrier(bias.astype(self.dtype))
+
+    def row(
+        self, timestamps: jnp.ndarray, position: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Bias row for a single query position per batch row:
+        (num_blocks, B, N). `position` (B,) is the 0-based query index; the
+        time part uses ts[position + 1] (the next-item timestamp, which the
+        feature pipeline scatters at index `length`)."""
+        n = self.max_seq_len
+        b = timestamps.shape[0]
+        j = jnp.arange(n)[None, :]                               # (1, N)
+        rel_idx = j - position[:, None] + n - 1                  # (B, N)
+        rel_pos = jnp.moveaxis(self.pos_w[:, rel_idx], 0, 0)     # (L, B, N)
+
+        ext = jnp.concatenate([timestamps, timestamps[:, n - 1 : n]], axis=1)
+        ts_next = jnp.take_along_axis(
+            ext, jnp.minimum(position + 1, n)[:, None], axis=1
+        )                                                        # (B, 1)
+        delta = ts_next - timestamps                             # (B, N)
+        buckets = _bucketize_time_delta(delta, self.num_buckets)
+        rel_ts = jnp.take(self.ts_w.T, buckets, axis=0)          # (B, N, L)
+        return (rel_pos + jnp.moveaxis(rel_ts, -1, 0)).astype(self.dtype)
 
 
 class HSTUBlock(nn.Module):
@@ -123,7 +146,41 @@ class HSTUBlock(nn.Module):
     max_seq_len: int
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        c = self.cfg
+        h, dqk, dv = c.num_heads, c.dqk, c.dv
+        self.uvqk = self.param(
+            "uvqk",
+            nn.initializers.normal(stddev=0.02),
+            (c.embedding_dim, h * dv * 2 + h * dqk * 2),
+        )
+        self.o = nn.Dense(
+            c.embedding_dim,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=nn.initializers.zeros_init(),
+            name="o",
+        )
+        self.dropout = nn.Dropout(c.linear_dropout_rate)
+
+    def _ln(self, y):
+        mu = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.var(y, axis=-1, keepdims=True)
+        return (y - mu) * jax.lax.rsqrt(var + self.cfg.epsilon)
+
+    def _uvqk_proj(self, normed_x: jnp.ndarray):
+        c = self.cfg
+        h, dqk, dv = c.num_heads, c.dqk, c.dv
+        y = jnp.einsum(
+            "...d,df->...f", normed_x, self.uvqk.astype(self.dtype),
+            preferred_element_type=self.dtype,
+        )
+        if c.linear_activation == "silu":
+            y = jax.nn.silu(y)
+        elif c.linear_activation != "none":
+            raise ValueError(f"Unknown linear_activation {c.linear_activation!r}")
+        return jnp.split(y, [h * dv, 2 * h * dv, 2 * h * dv + h * dqk], axis=-1)
+
     def __call__(
         self,
         x: jnp.ndarray,                 # (B, N, D)
@@ -135,28 +192,7 @@ class HSTUBlock(nn.Module):
         b, n, d = x.shape
         h, dqk, dv = c.num_heads, c.dqk, c.dv
 
-        def _ln(y, dim):
-            mu = jnp.mean(y, axis=-1, keepdims=True)
-            var = jnp.var(y, axis=-1, keepdims=True)
-            return (y - mu) * jax.lax.rsqrt(var + c.epsilon)
-
-        normed_x = _ln(x, d)
-        uvqk_w = self.param(
-            "uvqk",
-            nn.initializers.normal(stddev=0.02),
-            (d, h * dv * 2 + h * dqk * 2),
-        )
-        y = jnp.einsum(
-            "bnd,df->bnf", normed_x, uvqk_w.astype(self.dtype),
-            preferred_element_type=self.dtype,
-        )
-        if c.linear_activation == "silu":
-            y = jax.nn.silu(y)
-        elif c.linear_activation != "none":
-            raise ValueError(f"Unknown linear_activation {c.linear_activation!r}")
-        u, v, q, k = jnp.split(
-            y, [h * dv, 2 * h * dv, 2 * h * dv + h * dqk], axis=-1
-        )
+        u, v, q, k = self._uvqk_proj(self._ln(x))
 
         qh = q.reshape(b, n, h, dqk)
         kh = k.reshape(b, n, h, dqk)
@@ -182,16 +218,60 @@ class HSTUBlock(nn.Module):
             "bhnm,bmhd->bnhd", attn, vh, preferred_element_type=self.dtype
         ).reshape(b, n, h * dv)
 
-        o_input = u * _ln(attn_out, h * dv)
-        o_input = nn.Dropout(c.linear_dropout_rate, deterministic=not train)(o_input)
-        out = nn.Dense(
-            d,
-            dtype=self.dtype,
-            kernel_init=nn.initializers.xavier_uniform(),
-            bias_init=nn.initializers.zeros_init(),
-            name="o",
-        )(o_input)
-        return out + x
+        o_input = u * self._ln(attn_out)
+        o_input = self.dropout(o_input, deterministic=not train)
+        return self.o(o_input) + x
+
+    def decode_step(
+        self,
+        x_t: jnp.ndarray,               # (B, D) input at the new position
+        k_cache: jnp.ndarray,           # (B, N, h*dqk)
+        v_cache: jnp.ndarray,           # (B, N, h*dv)
+        position: jnp.ndarray,          # (B,) new position index
+        bias_row: Optional[jnp.ndarray],  # (B, N) bias at the query row
+    ):
+        """Incremental decode: process one appended position against cached
+        keys/values. The TPU equivalent of the reference's
+        `delta_x_offsets` cache path (`hstu.py:161-187,301-332`).
+
+        Returns (y_t (B, D), k_cache, v_cache) with caches updated in-place
+        at `position`.
+        """
+        c = self.cfg
+        b, n, _ = k_cache.shape
+        h, dqk, dv = c.num_heads, c.dqk, c.dv
+
+        u, v, q, k = self._uvqk_proj(self._ln(x_t))   # each (B, h*d)
+        rows = jnp.arange(b)
+        k_cache = k_cache.at[rows, position].set(k)
+        v_cache = v_cache.at[rows, position].set(v)
+
+        qh = q.reshape(b, h, dqk)
+        kh = k_cache.reshape(b, n, h, dqk)
+        vh = v_cache.reshape(b, n, h, dv)
+        qk = jnp.einsum(
+            "bhd,bmhd->bhm", qh, kh, preferred_element_type=self.dtype
+        )                                              # (B, h, N)
+        if bias_row is not None:
+            qk = qk + bias_row[:, None, :]
+        # Causal columns: j <= position. Note the 1/n normalizer uses the
+        # full padded length, matching the dense forward.
+        col_ok = (jnp.arange(n)[None, :] <= position[:, None]).astype(qk.dtype)
+        if c.normalization in ("rel_bias", "hstu_rel_bias"):
+            attn = jax.nn.silu(qk) * (1.0 / n) * col_ok[:, None, :]
+        elif c.normalization == "softmax_rel_bias":
+            attn = jax.nn.softmax(
+                qk / jnp.sqrt(float(dqk)).astype(qk.dtype), axis=-1
+            ) * col_ok[:, None, :]
+        else:
+            raise ValueError(f"Unknown normalization {c.normalization!r}")
+        attn_out = jnp.einsum(
+            "bhm,bmhd->bhd", attn, vh, preferred_element_type=self.dtype
+        ).reshape(b, h * dv)
+
+        o_input = u * self._ln(attn_out)
+        y_t = self.o(o_input) + x_t
+        return y_t, k_cache, v_cache
 
 
 class HSTUStack(nn.Module):
@@ -201,7 +281,32 @@ class HSTUStack(nn.Module):
     max_seq_len: int
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        if self.cfg.enable_relative_attention_bias:
+            self.rel_attn_bias = StackedRelativeBias(
+                num_blocks=self.cfg.num_blocks,
+                max_seq_len=self.max_seq_len,
+                num_buckets=self.cfg.num_time_buckets,
+                dtype=self.dtype,
+                name="rel_attn_bias",
+            )
+        else:
+            self.rel_attn_bias = None
+        self.blocks = [
+            HSTUBlock(
+                cfg=self.cfg,
+                max_seq_len=self.max_seq_len,
+                dtype=self.dtype,
+                name=f"block_{i}",
+            )
+            for i in range(self.cfg.num_blocks)
+        ]
+
+    def _bias_all(self, timestamps: Optional[jnp.ndarray]):
+        if timestamps is None or self.rel_attn_bias is None:
+            return None
+        return self.rel_attn_bias(timestamps)
+
     def __call__(
         self,
         x: jnp.ndarray,
@@ -212,23 +317,9 @@ class HSTUStack(nn.Module):
         b, n, _ = x.shape
         causal = jnp.tril(jnp.ones((n, n), dtype=jnp.float32))
         attn_mask = causal[None] * valid[:, None, :].astype(jnp.float32)
-        if timestamps is not None and self.cfg.enable_relative_attention_bias:
-            bias_all = StackedRelativeBias(
-                num_blocks=self.cfg.num_blocks,
-                max_seq_len=self.max_seq_len,
-                num_buckets=self.cfg.num_time_buckets,
-                dtype=self.dtype,
-                name="rel_attn_bias",
-            )(timestamps)
-        else:
-            bias_all = None
-        for layer_idx in range(self.cfg.num_blocks):
-            x = HSTUBlock(
-                cfg=self.cfg,
-                max_seq_len=self.max_seq_len,
-                dtype=self.dtype,
-                name=f"block_{layer_idx}",
-            )(
+        bias_all = self._bias_all(timestamps)
+        for layer_idx, block in enumerate(self.blocks):
+            x = block(
                 x, attn_mask,
                 bias_all[layer_idx] if bias_all is not None else None,
                 train=train,
@@ -236,3 +327,57 @@ class HSTUStack(nn.Module):
         # Reference round-trips through jagged_to_padded_dense at the end,
         # zeroing padded rows (`hstu.py:524-529`).
         return x * valid[..., None].astype(x.dtype)
+
+    # ------------------------------------------------------------------ #
+    # Incremental decode (KV-style cache; `hstu.py:141,161-187,301-332`).
+    # ------------------------------------------------------------------ #
+
+    def prefill(
+        self,
+        x: jnp.ndarray,
+        valid: jnp.ndarray,
+        timestamps: Optional[jnp.ndarray],
+    ):
+        """Full forward that also materializes per-layer (k, v) caches.
+
+        Returns (y (B, N, D), cache) with cache a tuple of per-layer
+        (k (B, N, h*dqk), v (B, N, h*dv)).
+        """
+        c = self.cfg
+        b, n, _ = x.shape
+        causal = jnp.tril(jnp.ones((n, n), dtype=jnp.float32))
+        attn_mask = causal[None] * valid[:, None, :].astype(jnp.float32)
+        bias_all = self._bias_all(timestamps)
+        cache = []
+        for layer_idx, block in enumerate(self.blocks):
+            _, v, _, k = block._uvqk_proj(block._ln(x))
+            cache.append((k, v))
+            x = block(
+                x, attn_mask,
+                bias_all[layer_idx] if bias_all is not None else None,
+                train=False,
+            )
+        return x * valid[..., None].astype(x.dtype), tuple(cache)
+
+    def decode_step(
+        self,
+        x_t: jnp.ndarray,               # (B, D)
+        cache,                          # tuple of per-layer (k, v)
+        position: jnp.ndarray,          # (B,)
+        timestamps: Optional[jnp.ndarray],   # (B, N) incl. next-item ts
+    ):
+        """One appended position through all blocks with cached K/V."""
+        new_cache = []
+        bias_rows = (
+            self.rel_attn_bias.row(timestamps, position)
+            if (timestamps is not None and self.rel_attn_bias is not None)
+            else None
+        )
+        for layer_idx, block in enumerate(self.blocks):
+            k_c, v_c = cache[layer_idx]
+            x_t, k_c, v_c = block.decode_step(
+                x_t, k_c, v_c, position,
+                bias_rows[layer_idx] if bias_rows is not None else None,
+            )
+            new_cache.append((k_c, v_c))
+        return x_t, tuple(new_cache)

@@ -35,7 +35,12 @@ class LearnablePositionalEmbeddingInputPreprocessor(nn.Module):
     dropout_rate: float
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.pos_emb = self.param(
+            "pos_emb", xavier_normal, (self.max_sequence_len, self.embedding_dim)
+        )
+        self.dropout = nn.Dropout(self.dropout_rate)
+
     def __call__(
         self,
         past_lengths: jnp.ndarray,       # (B,)
@@ -43,14 +48,19 @@ class LearnablePositionalEmbeddingInputPreprocessor(nn.Module):
         train: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         b, n, d = past_embeddings.shape
-        pos_emb = self.param(
-            "pos_emb", xavier_normal, (self.max_sequence_len, self.embedding_dim)
-        )
-        x = past_embeddings * (self.embedding_dim ** 0.5) + pos_emb[None, :n, :]
-        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        x = past_embeddings * (self.embedding_dim ** 0.5) + self.pos_emb[None, :n, :]
+        x = self.dropout(x, deterministic=not train)
         valid = length_mask(past_lengths, n)
         x = x * valid[..., None].astype(x.dtype)
         return x.astype(self.dtype), valid
+
+    def at_position(
+        self, embedding_t: jnp.ndarray, position: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Single-position preprocessing for incremental decode:
+        emb * sqrt(D) + pos_emb[position]. (B, D), (B,) -> (B, D)."""
+        x = embedding_t * (self.embedding_dim ** 0.5) + self.pos_emb[position]
+        return x.astype(self.dtype)
 
 
 class LearnablePositionalEmbeddingRatedInputPreprocessor(nn.Module):
