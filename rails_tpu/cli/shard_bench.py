@@ -1,0 +1,138 @@
+"""Sharded-corpus serving benchmark (distributed top-k over the item axis).
+
+The scale-out path beyond the reference's replicated-corpus design
+(SURVEY.md section 2.4): item-component tables shard across the mesh's item
+axis, each shard scores + top-ks locally, and one tiled all_gather merges.
+
+On a v5e-8, a 100M-item corpus with ML-20M MoL geometry (P_X=4, d_P=128,
+bf16) is 100M x 512 x 2B = ~102 GB of component tables -> ~13 GB/chip across
+8 ways, which fits; single-chip runs cap the corpus accordingly.
+
+Usage (virtual 8-device CPU mesh):
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python -m rails_tpu.cli.shard_bench --num-items 100000 --item-parallel 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> None:
+    logging.basicConfig(stream=sys.stdout, level=logging.INFO)
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--num-items", type=int, default=1_000_000)
+    p.add_argument("--item-parallel", type=int, default=None,
+                   help="item-axis size (default: all devices)")
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--k", type=int, default=200)
+    p.add_argument("--method", default="MoLBruteForceTopK")
+    p.add_argument("--runs", type=int, default=10)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from rails_tpu.core.config import MeshConfig, get_experiment_config
+    from rails_tpu.core.mesh import make_mesh, replicate
+    from rails_tpu.data.datasets import SequenceDataset, generate_synthetic_sequences
+    from rails_tpu.index.sharded import make_sharded_top_k_fn, pad_and_shard_state
+    from rails_tpu.index.top_k import build_mol_topk_state
+    from rails_tpu.losses.samplers import maybe_l2_norm
+    from rails_tpu.train.loop import create_train_state
+
+    n_dev = jax.device_count()
+    item_parallel = args.item_parallel or n_dev
+    mesh = make_mesh(MeshConfig(item_parallel=item_parallel, data_parallel=1),
+                     devices=jax.devices()[:item_parallel])
+
+    x = args.num_items
+    cfg = get_experiment_config("ml-20m-hstu-mol")
+    cfg = cfg.replace(
+        data=cfg.data.replace(
+            dataset_name="synthetic", synthetic_num_users=256,
+            synthetic_num_items=min(x, 100_000),
+        ),
+        train=cfg.train.replace(
+            local_batch_size=args.batch_size, num_negatives=8,
+            main_module_bf16=True,
+        ),
+    )
+    seqs = generate_synthetic_sequences(
+        num_users=256, num_items=min(x, 100_000), max_len=64, seed=0
+    )
+    ds = SequenceDataset(seqs, cfg.data.max_sequence_length, ignore_last_n=1)
+    batch = next(
+        ds.batches(batch_size=args.batch_size,
+                   max_output_length=cfg.train.gr_output_length + 1,
+                   shuffle=False)
+    )
+    # Model's item table covers the training vocab; the *serving corpus* is a
+    # synthetic X-item component table (items beyond the vocab hash onto it),
+    # which is what the sharded index actually stores.
+    model, state, _, _ = create_train_state(
+        cfg, min(x, 100_000), np.arange(1, min(x, 100_000) + 1, dtype=np.int32),
+        batch,
+    )
+    params = state.params
+
+    # Build the big corpus directly at the component level: embed vocab items
+    # and tile/perturb up to X (the index only ever sees component tables).
+    ids = jnp.arange(1, x + 1, dtype=jnp.int32)
+    vocab = min(x, 100_000)
+
+    @jax.jit
+    def corpus_embeddings(params, key):
+        base = model.apply(
+            params, (jnp.arange(x, dtype=jnp.int32) % vocab) + 1,
+            method=model.get_item_embeddings,
+        )
+        noise = 0.05 * jax.random.normal(key, base.shape, base.dtype)
+        return base + noise
+
+    item_emb = corpus_embeddings(params, jax.random.PRNGKey(0))
+    state_tk = build_mol_topk_state(
+        model, params, ids, item_emb, table_dtype=jnp.bfloat16
+    )
+    bytes_tables = (
+        state_tk.item_tables.component_embeddings.size * 2
+        + state_tk.item_tables.gating_partial.size * 2
+    )
+    logging.info(
+        "corpus: %d items, component tables %.2f GB, %d-way item sharding",
+        x, bytes_tables / 1e9, item_parallel,
+    )
+    sh_state = pad_and_shard_state(state_tk, mesh)
+    topk = make_sharded_top_k_fn(
+        args.method, model, replicate(params, mesh), sh_state, mesh, k=args.k,
+        avg_top_k=min(4000, x), k_per_group=50,
+    )
+    q = jax.jit(lambda p, f: model.apply(p, f, method=model.encode))(
+        params, batch.features
+    )
+    res = topk(q, user_ids=batch.features.user_ids)
+    jax.block_until_ready(res)
+    t0 = time.perf_counter()
+    for i in range(args.runs):
+        # Perturb queries per run so remote backends cannot dedupe the call.
+        res = topk(q + 1e-6 * i, user_ids=batch.features.user_ids)
+    jax.block_until_ready(res)
+    dt = (time.perf_counter() - t0) / args.runs
+    print(json.dumps({
+        "metric": f"sharded_{args.method}_top{args.k}_qps",
+        "num_items": x,
+        "item_parallel": item_parallel,
+        "value": round(args.batch_size / dt, 2),
+        "unit": "queries/sec",
+        "ms_per_batch": round(dt * 1e3, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -408,10 +408,62 @@ def _synthetic_small() -> ExperimentConfig:
     )
 
 
+def _sasrec_variant(base: ExperimentConfig, num_blocks: int, num_heads: int,
+                    ffn_hidden_dim: int, ffn_dropout: float) -> ExperimentConfig:
+    """SASRec+MoL variants (`configs/*/sasrec-mol-*.gin`): SASRec encoder,
+    weight decay 0, same MoL geometry as the HSTU variant."""
+    return base.replace(
+        name=base.name.replace("hstu", "sasrec"),
+        model_type="SASRec",
+        sasrec=SASRecConfig(
+            embedding_dim=base.train.item_embedding_dim,
+            num_blocks=num_blocks,
+            num_heads=num_heads,
+            ffn_hidden_dim=ffn_hidden_dim,
+            ffn_dropout_rate=ffn_dropout,
+            ffn_activation_fn="relu",
+        ),
+        train=base.train.replace(weight_decay=0.0),
+    )
+
+
+def _dot_product_variant(base: ExperimentConfig) -> ExperimentConfig:
+    """Dot-product sampled-softmax baselines (`configs/*/hstu-sampled-softmax-*.gin`):
+    l2-normed user/item embeddings, temperature 0.05, MIPS top-k."""
+    return base.replace(
+        name=base.name.split("-mol")[0] + "-dot",
+        similarity_type="DotProduct",
+        train=base.train.replace(
+            user_embedding_norm="l2_norm",
+            temperature=0.05,
+            item_l2_norm=True,
+            top_k_method="MIPSBruteForceTopK",
+            loss_weights=(),
+        ),
+    )
+
+
 _REGISTRY = {
     "ml-1m-hstu-mol": _ml_1m_hstu_mol,
     "ml-20m-hstu-mol": _ml_20m_hstu_mol,
     "amzn-books-hstu-mol": _amzn_books_hstu_mol,
+    "ml-1m-sasrec-mol": lambda: _sasrec_variant(_ml_1m_hstu_mol(), 2, 1, 50, 0.2),
+    "ml-20m-sasrec-mol": lambda: _sasrec_variant(_ml_20m_hstu_mol(), 4, 4, 256, 0.2),
+    "amzn-books-sasrec-mol": lambda: _sasrec_variant(
+        _amzn_books_hstu_mol(), 4, 4, 64, 0.5
+    ),
+    "ml-1m-hstu-dot": lambda: _dot_product_variant(_ml_1m_hstu_mol()),
+    "ml-20m-hstu-dot": lambda: _dot_product_variant(_ml_20m_hstu_mol()),
+    "amzn-books-hstu-dot": lambda: _dot_product_variant(_amzn_books_hstu_mol()),
+    "ml-1m-sasrec-dot": lambda: _dot_product_variant(
+        _sasrec_variant(_ml_1m_hstu_mol(), 2, 1, 50, 0.2)
+    ),
+    "ml-20m-sasrec-dot": lambda: _dot_product_variant(
+        _sasrec_variant(_ml_20m_hstu_mol(), 4, 4, 256, 0.2)
+    ),
+    "amzn-books-sasrec-dot": lambda: _dot_product_variant(
+        _sasrec_variant(_amzn_books_hstu_mol(), 4, 4, 64, 0.5)
+    ),
     "synthetic-small": _synthetic_small,
 }
 

@@ -4,6 +4,15 @@ Reference: `get_top_k_module` (`/root/reference/indexing/utils_rails.py:25-233`)
 which enumerates MoLNaiveTopK{5,10,25,50,75,100}, MoLAvgTopK{100..4000},
 MoLCombTopK{k_per_group}_{avg_top_k}, MIPS/MoL brute force. Here the names are
 parsed, so every reference spelling works plus any other setting.
+
+Two layers:
+  - `get_top_k_raw(name)` returns a pure function
+    fn(model, params, state, query_embeddings, k, user_ids, item_embeddings)
+    with NO captured arrays — safe to call inside other jitted programs and
+    to shard_map (captured device arrays would be baked into the compiled
+    program as constants, which explodes compile payloads at corpus scale).
+  - `get_top_k_fn(...)` binds params/state at the Python level and jits with
+    them as runtime arguments.
 """
 
 from __future__ import annotations
@@ -18,7 +27,64 @@ import jax.numpy as jnp
 from rails_tpu.index import top_k as tk
 
 TopKFn = Callable[..., tk.TopKResult]
-# signature: fn(query_embeddings, k, user_ids=None) -> TopKResult
+# bound signature: fn(query_embeddings, k, user_ids=None) -> TopKResult
+
+
+def get_top_k_raw(top_k_method: str):
+    """Pure algorithm dispatch; every budget is baked in statically."""
+    if top_k_method == "MoLBruteForceTopK":
+        def raw(model, params, state, q, k, user_ids=None, item_embeddings=None):
+            return tk.mol_brute_force_top_k(
+                model, params, state, q, k, user_ids=user_ids
+            )
+        return raw
+
+    if top_k_method == "MoLBruteForceTopKFused":
+        def raw(model, params, state, q, k, user_ids=None, item_embeddings=None):
+            return tk.mol_brute_force_top_k_fused(
+                model, params, state, q, k, user_ids=user_ids
+            )
+        return raw
+
+    if top_k_method == "MIPSBruteForceTopK":
+        def raw(model, params, state, q, k, user_ids=None, item_embeddings=None):
+            assert item_embeddings is not None
+            return tk.mips_brute_force_top_k(
+                state.item_ids, item_embeddings, q, k
+            )
+        return raw
+
+    m = re.fullmatch(r"MoLNaive(?:Faiss)?TopK(\d+)", top_k_method)
+    if m:
+        k_per_group = int(m.group(1))
+        def raw(model, params, state, q, k, user_ids=None, item_embeddings=None):
+            return tk.mol_naive_top_k(
+                model, params, state, q, k,
+                k_per_group=k_per_group, user_ids=user_ids,
+            )
+        return raw
+
+    m = re.fullmatch(r"MoLAvgTopK(\d+)", top_k_method)
+    if m:
+        avg_top_k = int(m.group(1))
+        def raw(model, params, state, q, k, user_ids=None, item_embeddings=None):
+            return tk.mol_avg_top_k(
+                model, params, state, q, k,
+                avg_top_k=avg_top_k, user_ids=user_ids,
+            )
+        return raw
+
+    m = re.fullmatch(r"MoLCombTopK(\d+)_(\d+)", top_k_method)
+    if m:
+        k_per_group, avg_top_k = int(m.group(1)), int(m.group(2))
+        def raw(model, params, state, q, k, user_ids=None, item_embeddings=None):
+            return tk.mol_comb_top_k(
+                model, params, state, q, k,
+                avg_top_k=avg_top_k, k_per_group=k_per_group, user_ids=user_ids,
+            )
+        return raw
+
+    raise ValueError(f"Unknown top_k_method {top_k_method!r}")
 
 
 def get_top_k_fn(
@@ -29,62 +95,20 @@ def get_top_k_fn(
     item_embeddings: Optional[jnp.ndarray] = None,   # (X, D), MIPS only
     jit: bool = True,
 ) -> TopKFn:
-    def wrap(fn):
-        if jit:
-            fn = jax.jit(fn, static_argnames=("k",))
-        return fn
+    raw = get_top_k_raw(top_k_method)
 
-    if top_k_method == "MoLBruteForceTopK":
-        def fn(query_embeddings, k, user_ids=None):
-            return tk.mol_brute_force_top_k(
-                model, params, state, query_embeddings, k, user_ids=user_ids
-            )
-        return wrap(fn)
+    def call(params_, state_, item_emb_, q, k, user_ids):
+        return raw(
+            model, params_, state_, q, k, user_ids=user_ids,
+            item_embeddings=item_emb_,
+        )
 
-    if top_k_method == "MoLBruteForceTopKFused":
-        def fn(query_embeddings, k, user_ids=None):
-            return tk.mol_brute_force_top_k_fused(
-                model, params, state, query_embeddings, k, user_ids=user_ids
-            )
-        return wrap(fn)
+    if jit:
+        call = jax.jit(call, static_argnames=("k",))
 
-    if top_k_method == "MIPSBruteForceTopK":
-        assert item_embeddings is not None
-        def fn(query_embeddings, k, user_ids=None):
-            del user_ids
-            return tk.mips_brute_force_top_k(
-                state.item_ids, item_embeddings, query_embeddings, k
-            )
-        return wrap(fn)
+    def fn(query_embeddings, k, user_ids=None):
+        # params/state passed as runtime args (device buffers), never baked
+        # into the compiled program.
+        return call(params, state, item_embeddings, query_embeddings, k, user_ids)
 
-    m = re.fullmatch(r"MoLNaive(?:Faiss)?TopK(\d+)", top_k_method)
-    if m:
-        k_per_group = int(m.group(1))
-        def fn(query_embeddings, k, user_ids=None):
-            return tk.mol_naive_top_k(
-                model, params, state, query_embeddings, k,
-                k_per_group=k_per_group, user_ids=user_ids,
-            )
-        return wrap(fn)
-
-    m = re.fullmatch(r"MoLAvgTopK(\d+)", top_k_method)
-    if m:
-        avg_top_k = int(m.group(1))
-        def fn(query_embeddings, k, user_ids=None):
-            return tk.mol_avg_top_k(
-                model, params, state, query_embeddings, k,
-                avg_top_k=avg_top_k, user_ids=user_ids,
-            )
-        return wrap(fn)
-
-    m = re.fullmatch(r"MoLCombTopK(\d+)_(\d+)", top_k_method)
-    if m:
-        k_per_group, avg_top_k = int(m.group(1)), int(m.group(2))
-        def fn(query_embeddings, k, user_ids=None):
-            return tk.mol_comb_top_k(
-                model, params, state, query_embeddings, k,
-                avg_top_k=avg_top_k, k_per_group=k_per_group, user_ids=user_ids,
-            )
-        return wrap(fn)
-
-    raise ValueError(f"Unknown top_k_method {top_k_method!r}")
+    return fn

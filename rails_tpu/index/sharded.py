@@ -142,8 +142,12 @@ def make_sharded_top_k_fn(
         check_vma=False,
     )
 
-    @jax.jit
+    # params/state are runtime args of the jitted program (passing captured
+    # arrays through a closure would bake the sharded corpus into the
+    # compiled payload).
+    jitted = jax.jit(lambda p, s, q, u: sharded(p, s, q, u))
+
     def fn(query_embeddings, user_ids=None):
-        return sharded(params, state, query_embeddings, user_ids)
+        return jitted(params, state, query_embeddings, user_ids)
 
     return fn

@@ -29,7 +29,12 @@ def maybe_l2_norm(x: jnp.ndarray, l2_norm: bool, eps: float) -> jnp.ndarray:
 class LocalNegativesSampler(NamedTuple):
     """Uniform sampling over the full corpus id list
     (`autoregressive_losses.py:71-120`). Embeddings are re-looked-up from the
-    live (tied) item table by the caller."""
+    live (tied) item table by the caller.
+
+    Registered as a pytree whose id table is a child (runtime device buffer)
+    and whose l2 config is static aux data — so the sampler can be a jit
+    argument without tracing the booleans or baking the table in as a
+    constant."""
 
     all_item_ids: jnp.ndarray    # (num_items,) int32, actual item ids
     l2_norm: bool = False
@@ -44,6 +49,13 @@ class LocalNegativesSampler(NamedTuple):
         return self.all_item_ids[offsets]
 
 
+jax.tree_util.register_pytree_node(
+    LocalNegativesSampler,
+    lambda s: ((s.all_item_ids,), (s.l2_norm, s.l2_norm_eps)),
+    lambda aux, ch: LocalNegativesSampler(ch[0], aux[0], aux[1]),
+)
+
+
 class InBatchState(NamedTuple):
     """Processed batch state for in-batch sampling: ids sorted ascending with a
     first-occurrence mask; `num_unique` is a traced scalar."""
@@ -55,7 +67,8 @@ class InBatchState(NamedTuple):
 
 
 class InBatchNegativesSampler(NamedTuple):
-    """Dedup in-batch sampler (`autoregressive_losses.py:123-201`)."""
+    """Dedup in-batch sampler (`autoregressive_losses.py:123-201`).
+    All fields are static config (registered as pytree aux data)."""
 
     l2_norm: bool = False
     l2_norm_eps: float = 1e-6
@@ -100,3 +113,10 @@ class InBatchNegativesSampler(NamedTuple):
         pos = jnp.searchsorted(state.cum_unique, rank, side="left")
         pos = jnp.clip(pos, 0, state.sorted_ids.shape[0] - 1)
         return state.sorted_ids[pos], state.sorted_embeddings[pos]
+
+
+jax.tree_util.register_pytree_node(
+    InBatchNegativesSampler,
+    lambda s: ((), (s.l2_norm, s.l2_norm_eps, s.dedup_embeddings)),
+    lambda aux, ch: InBatchNegativesSampler(*aux),
+)

@@ -119,11 +119,22 @@ def extract_gating_qi_weights(params) -> MoLKernelWeights:
 
 
 class FusedCorpusTables(NamedTuple):
-    """Kernel-layout corpus tables, padded to a block multiple."""
+    """Kernel-layout corpus tables, padded to a block multiple.
+
+    Registered as a pytree with `num_items` as static aux data so the
+    unpadded corpus size stays a Python int (it bounds a static slice) when
+    the tables travel through jit as runtime arguments."""
 
     item_comp_t: jnp.ndarray      # (P_X, d_P, X_padded)
     item_partial_t: jnp.ndarray   # (L, X_padded)
     num_items: int                # original (unpadded) X
+
+
+jax.tree_util.register_pytree_node(
+    FusedCorpusTables,
+    lambda t: ((t.item_comp_t, t.item_partial_t), t.num_items),
+    lambda aux, ch: FusedCorpusTables(ch[0], ch[1], aux),
+)
 
 
 def prepare_fused_tables(

@@ -42,6 +42,7 @@ class EvalState:
     topk_state: MoLTopKState
     top_k_fn: Callable
     num_objects: int
+    top_k_method: str = "MoLBruteForceTopK"
 
 
 def get_eval_state(
@@ -75,6 +76,7 @@ def get_eval_state(
         topk_state=state,
         top_k_fn=top_k_fn,
         num_objects=int(ids.shape[0]),
+        top_k_method=top_k_method,
     )
 
 
@@ -133,9 +135,16 @@ def make_eval_step(
     """Build the jitted (encode -> top-k -> filter -> rank) step.
 
     Returns fn(params, features, target_ids) -> (ranks, top_k_ids, top_k_scores).
+    The corpus state is threaded through as a runtime argument so it never
+    gets baked into the compiled program as a constant.
     """
+    from rails_tpu.index.factory import get_top_k_raw
 
-    def step(params, features: SequentialFeatures, target_ids: jnp.ndarray):
+    raw = get_top_k_raw(eval_state.top_k_method)
+
+    @jax.jit
+    def _step(params, topk_state, item_embeddings,
+              features: SequentialFeatures, target_ids: jnp.ndarray):
         queries = model.apply(params, features, method=model.encode)
         n0 = features.ids.shape[1] if filter_invalid_ids else 0
         if max_num_invalid is not None:
@@ -143,14 +152,23 @@ def make_eval_step(
         k_prime = k_prime_for(
             k, eval_state.num_objects, n0, truncate_k_prime_to
         )
-        res = eval_state.top_k_fn(queries, k_prime, user_ids=features.user_ids)
+        res = raw(
+            model, params, topk_state, queries, k_prime,
+            user_ids=features.user_ids, item_embeddings=item_embeddings,
+        )
         res = select_top_k_with_invalid_filter(
             res, features.ids if filter_invalid_ids else None, k
         )
         ranks = ranks_from_top_k(res.ids, target_ids)
         return ranks, res.ids, res.scores
 
-    return jax.jit(step)
+    def step(params, features, target_ids):
+        return _step(
+            params, eval_state.topk_state, eval_state.item_embeddings,
+            features, target_ids,
+        )
+
+    return step
 
 
 @dataclass

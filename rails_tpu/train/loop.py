@@ -125,7 +125,7 @@ def make_train_step(
     loss_weights = dict(cfg.train.loss_weights)
 
     def train_step(
-        state: TrainState, batch: Batch, rng: jax.Array
+        state: TrainState, batch: Batch, rng: jax.Array, sampler=sampler
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         features = scatter_target(batch.features, batch.target_ids)
         dropout_rng, sampler_rng = jax.random.split(jax.random.fold_in(rng, state.step))
@@ -171,7 +171,13 @@ def create_train_state(
     opt_state = optimizer.init(params)
     state = TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
     sampler = _make_sampler(cfg, num_items, all_item_ids)
-    train_step = jax.jit(
+    # The sampler (holding the corpus id list) is a runtime argument of the
+    # jitted step, not a captured constant.
+    jitted = jax.jit(
         make_train_step(cfg, model, optimizer, sampler), donate_argnums=(0,)
     )
+
+    def train_step(state, batch, rng):
+        return jitted(state, batch, rng, sampler)
+
     return model, state, train_step, sampler

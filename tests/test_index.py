@@ -78,10 +78,11 @@ class TestBruteForce:
 
 class TestApproximateAlgorithms:
     @pytest.mark.parametrize(
-        "method", ["MoLAvgTopK300", "MoLNaiveTopK50", "MoLCombTopK50_300"]
+        "method", ["MoLAvgTopK300", "MoLNaiveTopK300", "MoLCombTopK300_300"]
     )
     def test_full_budget_equals_brute_force(self, trained, method):
-        """With the candidate budget >= corpus size, approx == exact."""
+        """With the candidate budget >= corpus size (avg_top_k >= X,
+        k_per_group >= X so the union covers everything), approx == exact."""
         cfg, ds, model, params, batches = trained
         x = len(ds.all_item_ids)
         assert x == 300 or x <= 300
@@ -96,10 +97,20 @@ class TestApproximateAlgorithms:
         q = model.apply(params, feats, method=model.encode)
         exact = es_exact.top_k_fn(q, 10, user_ids=feats.user_ids)
         apx = es_apx.top_k_fn(q, 10, user_ids=feats.user_ids)
-        np.testing.assert_array_equal(np.asarray(apx.ids), np.asarray(exact.ids))
+        # Scores must agree to float tolerance; ids may swap only at
+        # near-ties (different-but-equivalent fusion orders reorder ties).
         np.testing.assert_allclose(
             np.asarray(apx.scores), np.asarray(exact.scores), rtol=1e-4, atol=1e-4
         )
+        ids_a, ids_e = np.asarray(apx.ids), np.asarray(exact.ids)
+        mism = ids_a != ids_e
+        if mism.any():
+            s_e = np.asarray(exact.scores)
+            for b, j in zip(*np.nonzero(mism)):
+                neighborhood = np.abs(s_e[b] - s_e[b, j]) < 1e-3
+                assert neighborhood.sum() > 1, (
+                    f"id mismatch at ({b},{j}) without a score tie"
+                )
 
     def test_tight_budget_high_recall(self, trained):
         cfg, ds, model, params, batches = trained
