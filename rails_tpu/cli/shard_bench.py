@@ -32,7 +32,7 @@ def main(argv=None) -> None:
                    help="item-axis size (default: all devices)")
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--k", type=int, default=200)
-    p.add_argument("--method", default="MoLBruteForceTopK")
+    p.add_argument("--method", default="MoLBruteForceTopKFused")
     p.add_argument("--runs", type=int, default=10)
     args = p.parse_args(argv)
 
@@ -98,7 +98,8 @@ def main(argv=None) -> None:
 
     item_emb = corpus_embeddings(params, jax.random.PRNGKey(0))
     state_tk = build_mol_topk_state(
-        model, params, ids, item_emb, table_dtype=jnp.bfloat16
+        model, params, ids, item_emb, table_dtype=jnp.bfloat16,
+        build_fused="Fused" in args.method,
     )
     bytes_tables = (
         state_tk.item_tables.component_embeddings.size * 2

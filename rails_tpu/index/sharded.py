@@ -34,24 +34,49 @@ from rails_tpu.similarity.mol import MoLItemTables
 NEG_PAD = -1.0e30
 
 
-def pad_and_shard_state(state: MoLTopKState, mesh: Mesh) -> MoLTopKState:
-    """Pad the corpus to a multiple of the item-axis size and shard it.
+def pad_and_shard_state(
+    state: MoLTopKState, mesh: Mesh, fused_block_x: int = 256
+) -> MoLTopKState:
+    """Pad the corpus to a shard-divisible size and shard it over `item`.
 
     Padded rows carry item id 0 and zero embeddings; scoring masks them to
-    -inf before the local top-k so they never surface.
+    -inf before the local top-k so they never surface. When the state carries
+    fused (Pallas-layout) tables, the pad target is a multiple of
+    shards * fused_block_x so each shard's slab is kernel-blockable.
     """
+    from rails_tpu.ops.pallas.mol_scoring import FusedCorpusTables
+
     s = mesh.shape[ITEM_AXIS]
     x = state.item_ids.shape[0]
-    pad = (-x) % s
+    unit = s * fused_block_x if state.fused_tables is not None else s
+    pad = (-x) % unit
 
-    def pad0(arr):
+    def pad0(arr, axis=0):
         if arr is None or pad == 0:
             return arr
-        widths = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
+        widths = [(0, 0)] * arr.ndim
+        widths[axis] = (0, pad)
         return jnp.pad(arr, widths)
 
     sh = item_sharding(mesh)
     put = lambda a: None if a is None else jax.device_put(pad0(a), sh)
+    fused = None
+    if state.fused_tables is not None:
+        ft = state.fused_tables
+        # Fused tables are pre-padded to a block multiple; re-pad to the
+        # shard unit on the trailing (corpus) axis and shard that axis.
+        fpad = (x + pad) - ft.item_comp_t.shape[2]
+        comp_t = jnp.pad(ft.item_comp_t, ((0, 0), (0, 0), (0, max(fpad, 0))))
+        part_t = jnp.pad(ft.item_partial_t, ((0, 0), (0, max(fpad, 0))))
+        fused = FusedCorpusTables(
+            item_comp_t=jax.device_put(
+                comp_t, NamedSharding(mesh, P(None, None, ITEM_AXIS))
+            ),
+            item_partial_t=jax.device_put(
+                part_t, NamedSharding(mesh, P(None, ITEM_AXIS))
+            ),
+            num_items=ft.num_items,
+        )
     return MoLTopKState(
         item_ids=put(state.item_ids),
         item_tables=MoLItemTables(
@@ -59,6 +84,7 @@ def pad_and_shard_state(state: MoLTopKState, mesh: Mesh) -> MoLTopKState:
             gating_partial=put(state.item_tables.gating_partial),
         ),
         avg_component=put(state.avg_component),
+        fused_tables=fused,
     )
 
 
@@ -81,6 +107,7 @@ def make_sharded_top_k_fn(
     k: int,
     k_per_group: int = 50,
     avg_top_k: int = 200,
+    fused_block_x: int = 256,
 ) -> Callable:
     """Build fn(query_embeddings, user_ids=None) -> TopKResult (replicated).
 
@@ -91,7 +118,33 @@ def make_sharded_top_k_fn(
     def local_algorithm(params_, state_l: MoLTopKState, q, user_ids):
         x_local = state_l.item_ids.shape[0]          # static inside shard_map
         k_local = min(k, x_local)
-        if top_k_method == "MoLBruteForceTopK":
+        if top_k_method == "MoLBruteForceTopKFused":
+            # Fused Pallas scoring per shard: the (B, X, L) logits and the
+            # gating hidden layer never materialize in HBM — required at
+            # multi-million-item shard sizes where the XLA path's
+            # (B, X, H) activation alone exceeds HBM.
+            from rails_tpu.ops.pallas.mol_scoring import (
+                extract_gating_qi_weights,
+                fused_mol_scores_t,
+            )
+
+            ft = state_l.fused_tables
+            assert ft is not None, "pad_and_shard_state needs fused tables"
+            q_comp = model.apply(
+                params_, q, user_ids, method=model.query_components
+            )
+            qp = model.apply(params_, q, method=model.query_gating_partial)
+            w = extract_gating_qi_weights(params_)
+            scores = fused_mol_scores_t(
+                q_comp.astype(ft.item_comp_t.dtype), qp,
+                ft.item_comp_t, ft.item_partial_t, w,
+                float(model.cfg.mol.temperature),
+                block_x=min(fused_block_x, ft.item_comp_t.shape[2]),
+            )                                        # (B, X_local)
+            scores = jnp.where(state_l.item_ids[None, :] == 0, NEG_PAD, scores)
+            s_top, idx = jax.lax.top_k(scores, k_local)
+            res = TopKResult(scores=s_top, ids=state_l.item_ids[idx])
+        elif top_k_method == "MoLBruteForceTopK":
             res = mol_brute_force_top_k(
                 model, params_, state_l, q, k_local, user_ids=user_ids
             )
@@ -123,6 +176,8 @@ def make_sharded_top_k_fn(
             ids = jnp.pad(ids, ((0, 0), (0, pad)))
         return _merge_local_topk(scores, ids, k)
 
+    from rails_tpu.ops.pallas.mol_scoring import FusedCorpusTables
+
     state_specs = MoLTopKState(
         item_ids=P(ITEM_AXIS),
         item_tables=MoLItemTables(
@@ -132,6 +187,15 @@ def make_sharded_top_k_fn(
             ),
         ),
         avg_component=P(ITEM_AXIS),
+        fused_tables=(
+            FusedCorpusTables(
+                item_comp_t=P(None, None, ITEM_AXIS),
+                item_partial_t=P(None, ITEM_AXIS),
+                num_items=state.fused_tables.num_items,
+            )
+            if state.fused_tables is not None
+            else None
+        ),
     )
 
     sharded = shard_map(

@@ -1,0 +1,117 @@
+"""Checkpoint save/restore roundtrip and LM MoL embedding functions."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rails_tpu.core.config import get_experiment_config
+from rails_tpu.data.datasets import get_reco_dataset
+from rails_tpu.similarity.lm_embeddings import LMMoLEmbeddingsFn, mask_mixing_weights
+from rails_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+from rails_tpu.train.loop import create_train_state
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        cfg = get_experiment_config("synthetic-small")
+        cfg = cfg.replace(
+            data=cfg.data.replace(synthetic_num_users=64, synthetic_num_items=100),
+            train=cfg.train.replace(local_batch_size=8, num_negatives=8),
+        )
+        ds = get_reco_dataset(cfg.data)
+        batch = next(
+            ds.train_dataset.batches(
+                batch_size=8, max_output_length=cfg.train.gr_output_length + 1,
+                shuffle=False,
+            )
+        )
+        model, state, train_step, _ = create_train_state(
+            cfg, ds.max_item_id, ds.all_item_ids, batch
+        )
+        state, _ = train_step(state, batch, jax.random.PRNGKey(0))
+        path = save_checkpoint(
+            str(tmp_path), state, epoch=3, batch_id=17,
+            config_json=cfg.to_json(), debug_str=cfg.model_debug_str(),
+        )
+        assert os.path.exists(path)
+
+        model2, fresh, _, _ = create_train_state(
+            cfg, ds.max_item_id, ds.all_item_ids, batch, seed=999
+        )
+        restored, epoch, batch_id = restore_checkpoint(path, fresh)
+        assert epoch == 3 and batch_id == 17
+        assert int(restored.step) == int(state.step)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(restored.params),
+            jax.tree_util.tree_leaves(state.params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_restored_model_same_outputs(self, tmp_path):
+        cfg = get_experiment_config("synthetic-small")
+        cfg = cfg.replace(
+            data=cfg.data.replace(synthetic_num_users=64, synthetic_num_items=100),
+            train=cfg.train.replace(local_batch_size=8, num_negatives=8),
+        )
+        ds = get_reco_dataset(cfg.data)
+        batch = next(
+            ds.train_dataset.batches(
+                batch_size=8, max_output_length=cfg.train.gr_output_length + 1,
+                shuffle=False,
+            )
+        )
+        model, state, train_step, _ = create_train_state(
+            cfg, ds.max_item_id, ds.all_item_ids, batch
+        )
+        state, _ = train_step(state, batch, jax.random.PRNGKey(0))
+        q_ref = model.apply(state.params, batch.features, method=model.encode)
+        path = save_checkpoint(str(tmp_path), state, epoch=0, batch_id=0)
+        _, fresh, _, _ = create_train_state(
+            cfg, ds.max_item_id, ds.all_item_ids, batch, seed=123
+        )
+        restored, _, _ = restore_checkpoint(path, fresh)
+        q = model.apply(restored.params, batch.features, method=model.encode)
+        np.testing.assert_allclose(np.asarray(q), np.asarray(q_ref), rtol=1e-6)
+
+
+class TestLMEmbeddings:
+    def test_mask_mixing_weights(self):
+        logits = jnp.zeros((2, 4, 3))
+        ids = jnp.array([[1, 2, 0, 0], [1, 1, 1, 1]])
+        w = np.asarray(mask_mixing_weights(logits, ids, 4))
+        # Masked positions get ~0 weight; valid positions uniform.
+        np.testing.assert_allclose(w[0, :2], 0.5, atol=1e-3)
+        np.testing.assert_allclose(w[0, 2:], 0.0, atol=1e-3)
+        np.testing.assert_allclose(w[1], 0.25, atol=1e-3)
+        np.testing.assert_allclose(w.sum(axis=1), 1.0, atol=1e-5)
+
+    def test_first_p_mode(self):
+        mod = LMMoLEmbeddingsFn(
+            input_max_length=8, input_embedding_dim=6, dot_product_groups=3,
+            dot_product_l2_norm=False,
+        )
+        x = jnp.arange(2 * 8 * 6, dtype=jnp.float32).reshape(2, 8, 6)
+        params = mod.init(jax.random.PRNGKey(0), x)
+        comps, aux = mod.apply(params, x)
+        np.testing.assert_allclose(np.asarray(comps), np.asarray(x[:, :3, :]))
+
+    @pytest.mark.parametrize("version", ["v2", "v4"])
+    def test_mixing_modes(self, version):
+        mod = LMMoLEmbeddingsFn(
+            input_max_length=8, input_embedding_dim=6, dot_product_groups=3,
+            apply_mixing_weights_v2=version == "v2",
+            apply_mixing_weights_v4=version == "v4",
+        )
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 8, 6)).astype(np.float32))
+        ids = jnp.asarray(rng.integers(1, 50, size=(2, 8)))
+        params = mod.init(jax.random.PRNGKey(0), x, input_ids=ids)
+        comps, _ = mod.apply(params, x, input_ids=ids)
+        assert comps.shape == (2, 3, 6)
+        # l2-normed components.
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(comps), axis=-1), 1.0, rtol=1e-4
+        )

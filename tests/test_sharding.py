@@ -73,6 +73,36 @@ class TestShardedTopK:
             np.asarray(res.scores), np.asarray(ref.scores), rtol=1e-5, atol=1e-5
         )
 
+    def test_sharded_fused_matches_single_device(self, trained):
+        """Fused Pallas per-shard scoring == single-device brute force."""
+        cfg, ds, model, params, batches = trained
+        from rails_tpu.index.top_k import build_mol_topk_state
+        import jax.numpy as jnp
+
+        es = get_eval_state(
+            model, params, ds.all_item_ids, "MoLBruteForceTopK",
+            table_dtype=jnp.float32,
+        )
+        feats = batches[0].features
+        q = model.apply(params, feats, method=model.encode)
+        ref = es.top_k_fn(q, 15, user_ids=feats.user_ids)
+
+        mesh = make_mesh(MeshConfig(item_parallel=4))
+        state = build_mol_topk_state(
+            model, params, es.all_item_ids, es.item_embeddings,
+            table_dtype=jnp.float32, build_fused=True, fused_block_x=32,
+        )
+        sh_state = pad_and_shard_state(state, mesh, fused_block_x=32)
+        fn = make_sharded_top_k_fn(
+            "MoLBruteForceTopKFused", model, replicate(params, mesh),
+            sh_state, mesh, k=15,
+        )
+        res = fn(q, user_ids=feats.user_ids)
+        np.testing.assert_array_equal(np.asarray(res.ids), np.asarray(ref.ids))
+        np.testing.assert_allclose(
+            np.asarray(res.scores), np.asarray(ref.scores), rtol=1e-4, atol=1e-4
+        )
+
     def test_sharded_avg_recall(self, trained):
         """Per-shard Avg prefilter with the full local budget reduces to the
         exact result when budget >= local corpus size."""
