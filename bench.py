@@ -38,6 +38,9 @@ def main() -> None:
     batch_size = 32
     cfg = get_experiment_config("ml-20m-hstu-mol")
     cfg = cfg.replace(
+        hstu=cfg.hstu.replace(fused_inference=True),
+    )
+    cfg = cfg.replace(
         data=cfg.data.replace(
             dataset_name="synthetic",
             synthetic_num_users=1024,

@@ -142,6 +142,9 @@ class HSTUConfig(_Base):
     enable_relative_attention_bias: bool = True
     num_time_buckets: int = 128
     epsilon: float = 1e-6
+    # Serve/eval with the fully-fused Pallas block kernel
+    # (rails_tpu/ops/pallas/hstu_block.py); training always uses XLA.
+    fused_inference: bool = False
 
     def debug_str(self) -> str:
         s = (

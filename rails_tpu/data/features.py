@@ -29,6 +29,30 @@ class Batch(NamedTuple):
     target_ratings: jnp.ndarray   # (B,) int32
 
 
+def truncate_features(features: SequentialFeatures, n: int) -> SequentialFeatures:
+    """Serve-time truncation of the padded sequence axis to n columns.
+
+    Valid when every row satisfies length + 1 <= n (the +1 keeps the
+    next-item timestamp slot read by the HSTU time bias). The HSTU modules
+    are length-agnostic: bias tables index by relative offset against the
+    trained center and the attention normalizer stays 1/max_seq_len, so
+    shorter padded batches produce identical outputs with ~ (n/N)^2 less
+    attention work — the dense-layout counterpart of the reference's jagged
+    skipping of padding.
+    """
+    return features._replace(
+        ids=features.ids[:, :n],
+        timestamps=features.timestamps[:, :n],
+        ratings=features.ratings[:, :n],
+    )
+
+
+def serving_pad_length(max_length: int, multiple: int = 64) -> int:
+    """Smallest TPU-friendly padded length covering max_length + 1."""
+    need = max_length + 1
+    return ((need + multiple - 1) // multiple) * multiple
+
+
 def batch_from_rows(
     historical_lengths: np.ndarray,     # (B,)
     historical_ids: np.ndarray,         # (B, max_seq_len)

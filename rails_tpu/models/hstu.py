@@ -101,10 +101,13 @@ class StackedRelativeBias(nn.Module):
         )
 
     def __call__(self, timestamps: jnp.ndarray) -> jnp.ndarray:  # (B, N) int
-        n = self.max_seq_len
+        # Serving may run with n < max_seq_len (shorter padded batches);
+        # relative offset r indexes the trained table at its center,
+        # r + max_seq_len - 1.
+        n = timestamps.shape[1]
         i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
         j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-        rel_pos = self.pos_w[:, j - i + n - 1]                   # (L, N, N)
+        rel_pos = self.pos_w[:, j - i + self.max_seq_len - 1]    # (L, N, N)
 
         ext = jnp.concatenate([timestamps, timestamps[:, n - 1 : n]], axis=1)
         delta = ext[:, 1:, None] - ext[:, None, :-1]             # (B, N, N)
@@ -122,10 +125,10 @@ class StackedRelativeBias(nn.Module):
         (num_blocks, B, N). `position` (B,) is the 0-based query index; the
         time part uses ts[position + 1] (the next-item timestamp, which the
         feature pipeline scatters at index `length`)."""
-        n = self.max_seq_len
+        n = timestamps.shape[1]
         b = timestamps.shape[0]
         j = jnp.arange(n)[None, :]                               # (1, N)
-        rel_idx = j - position[:, None] + n - 1                  # (B, N)
+        rel_idx = j - position[:, None] + self.max_seq_len - 1   # (B, N)
         rel_pos = jnp.moveaxis(self.pos_w[:, rel_idx], 0, 0)     # (L, B, N)
 
         ext = jnp.concatenate([timestamps, timestamps[:, n - 1 : n]], axis=1)
@@ -154,14 +157,25 @@ class HSTUBlock(nn.Module):
             nn.initializers.normal(stddev=0.02),
             (c.embedding_dim, h * dv * 2 + h * dqk * 2),
         )
-        self.o = nn.Dense(
-            c.embedding_dim,
-            dtype=self.dtype,
-            kernel_init=nn.initializers.xavier_uniform(),
-            bias_init=nn.initializers.zeros_init(),
-            name="o",
+        # Output projection as explicit params (shared with the fused Pallas
+        # block kernel).
+        self.o_kernel = self.param(
+            "o_kernel", nn.initializers.xavier_uniform(),
+            (h * dv, c.embedding_dim),
+        )
+        self.o_bias = self.param(
+            "o_bias", nn.initializers.zeros_init(), (c.embedding_dim,)
         )
         self.dropout = nn.Dropout(c.linear_dropout_rate)
+
+    def _o(self, o_input: jnp.ndarray) -> jnp.ndarray:
+        return (
+            jnp.einsum(
+                "...f,fd->...d", o_input, self.o_kernel.astype(self.dtype),
+                preferred_element_type=self.dtype,
+            )
+            + self.o_bias.astype(self.dtype)
+        )
 
     def _ln(self, y):
         mu = jnp.mean(y, axis=-1, keepdims=True)
@@ -204,9 +218,11 @@ class HSTUBlock(nn.Module):
             qk = qk + rel_bias[:, None, :, :]
 
         if c.normalization in ("rel_bias", "hstu_rel_bias"):
-            # Pointwise SiLU attention, normalized by the constant 1/n
-            # (`hstu.py:203`), then masked.
-            attn = jax.nn.silu(qk) * (1.0 / n)
+            # Pointwise SiLU attention, normalized by the constant
+            # 1/max_seq_len (`hstu.py:203` uses the full padded length; the
+            # constant is part of the trained function, so it stays pinned
+            # when serving with shorter padded batches).
+            attn = jax.nn.silu(qk) * (1.0 / self.max_seq_len)
             attn = attn * attn_mask[:, None, :, :].astype(attn.dtype)
         elif c.normalization == "softmax_rel_bias":
             attn = jax.nn.softmax(qk / jnp.sqrt(float(dqk)).astype(qk.dtype), axis=-1)
@@ -220,7 +236,7 @@ class HSTUBlock(nn.Module):
 
         o_input = u * self._ln(attn_out)
         o_input = self.dropout(o_input, deterministic=not train)
-        return self.o(o_input) + x
+        return self._o(o_input) + x
 
     def decode_step(
         self,
@@ -258,7 +274,7 @@ class HSTUBlock(nn.Module):
         # full padded length, matching the dense forward.
         col_ok = (jnp.arange(n)[None, :] <= position[:, None]).astype(qk.dtype)
         if c.normalization in ("rel_bias", "hstu_rel_bias"):
-            attn = jax.nn.silu(qk) * (1.0 / n) * col_ok[:, None, :]
+            attn = jax.nn.silu(qk) * (1.0 / self.max_seq_len) * col_ok[:, None, :]
         elif c.normalization == "softmax_rel_bias":
             attn = jax.nn.softmax(
                 qk / jnp.sqrt(float(dqk)).astype(qk.dtype), axis=-1
@@ -270,7 +286,7 @@ class HSTUBlock(nn.Module):
         ).reshape(b, h * dv)
 
         o_input = u * self._ln(attn_out)
-        y_t = self.o(o_input) + x_t
+        y_t = self._o(o_input) + x_t
         return y_t, k_cache, v_cache
 
 
@@ -315,9 +331,34 @@ class HSTUStack(nn.Module):
         train: bool = False,
     ) -> jnp.ndarray:
         b, n, _ = x.shape
+        bias_all = self._bias_all(timestamps)
+        if self.cfg.fused_inference and not train:
+            from rails_tpu.ops.pallas.hstu_block import fused_hstu_block
+
+            assert self.cfg.linear_activation == "silu", (
+                "fused_inference supports linear_activation='silu' only"
+            )
+            assert self.cfg.normalization in ("rel_bias", "hstu_rel_bias"), (
+                "fused_inference supports the pointwise-SiLU attention only"
+            )
+            colmask = valid.astype(jnp.float32)
+            for layer_idx, block in enumerate(self.blocks):
+                x = fused_hstu_block(
+                    x,
+                    bias_all[layer_idx] if bias_all is not None else None,
+                    colmask,
+                    block.uvqk.astype(self.dtype),
+                    block.o_kernel.astype(self.dtype),
+                    block.o_bias.astype(jnp.float32),
+                    num_heads=self.cfg.num_heads,
+                    dqk=self.cfg.dqk,
+                    dv=self.cfg.dv,
+                    inv_n=1.0 / self.max_seq_len,
+                    eps=self.cfg.epsilon,
+                )
+            return x * valid[..., None].astype(x.dtype)
         causal = jnp.tril(jnp.ones((n, n), dtype=jnp.float32))
         attn_mask = causal[None] * valid[:, None, :].astype(jnp.float32)
-        bias_all = self._bias_all(timestamps)
         for layer_idx, block in enumerate(self.blocks):
             x = block(
                 x, attn_mask,

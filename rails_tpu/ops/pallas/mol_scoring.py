@@ -50,18 +50,22 @@ def _kernel(
     inv_temperature: float,
 ):
     b = q_ref.shape[1]
+    d_p = q_ref.shape[2]
     tx = item_ref.shape[2]
     l = p_q * p_x
 
-    # Component logits, one (B, TX) row per (n, m) pair, scaled by 1/T.
-    for n in range(p_q):
-        qn = q_ref[n]                          # (B, d_P)
-        for m in range(p_x):
-            im = item_ref[m]                   # (d_P, TX)
-            logits_ref[n * p_x + m] = (
-                jnp.dot(qn, im, preferred_element_type=jnp.float32)
-                * inv_temperature
-            )
+    # Component logits: one (P_Q*B, d_P) x (d_P, TX) matmul per ITEM group —
+    # batching the query groups quadruples MXU row utilization at serving
+    # batch sizes (B=32 alone fills only a quarter of the systolic rows).
+    q_flat = q_ref[:].reshape(p_q * b, d_p)
+    for m in range(p_x):
+        im = item_ref[m]                       # (d_P, TX)
+        out_m = (
+            jnp.dot(q_flat, im, preferred_element_type=jnp.float32)
+            * inv_temperature
+        ).reshape(p_q, b, tx)
+        for n in range(p_q):
+            logits_ref[n * p_x + m] = out_m[n]
 
     logits = logits_ref[:].reshape(l, b * tx)              # (L, B*TX) f32
 

@@ -91,6 +91,33 @@ class TestHSTUMasking:
         # The mutated position itself changes.
         assert np.abs(a[0, pos] - b[0, pos]).max() > 1e-6
 
+    def test_truncated_serving_matches_full_padding(self):
+        """Encoding with a shorter padded axis (all lengths fit) must equal
+        the full-padded encode — trained weights are length-agnostic."""
+        from rails_tpu.data.features import serving_pad_length, truncate_features
+        from rails_tpu.train.loop import create_train_state
+
+        cfg = get_experiment_config("synthetic-small")
+        ds = get_reco_dataset(cfg.data)
+        batch = next(
+            ds.train_dataset.batches(
+                batch_size=4, max_output_length=cfg.train.gr_output_length + 1,
+                shuffle=False,
+            )
+        )
+        model, state, _, _ = create_train_state(
+            cfg, ds.max_item_id, ds.all_item_ids, batch
+        )
+        feats = batch.features
+        full = model.apply(state.params, feats, method=model.encode)
+        n = serving_pad_length(int(feats.lengths.max()), multiple=8)
+        assert n < feats.ids.shape[1]
+        short = truncate_features(feats, n)
+        got = model.apply(state.params, short, method=model.encode)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(full), rtol=2e-5, atol=2e-6
+        )
+
     def test_padding_invariance(self):
         """Values in padded positions must not influence valid outputs."""
         cfg = get_experiment_config("synthetic-small")
