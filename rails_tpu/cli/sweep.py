@@ -97,6 +97,7 @@ def main(argv=None) -> None:
     logging.basicConfig(stream=sys.stdout, level=logging.INFO)
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", required=True)
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
     p.add_argument("--ckpt", default=None)
     p.add_argument("--limit-users", type=int, default=8192)
     p.add_argument("--no-eval-time", action="store_true")
@@ -104,12 +105,16 @@ def main(argv=None) -> None:
     p.add_argument("--output-csv", default=None)
     args = p.parse_args(argv)
 
+    from rails_tpu.cli.train import apply_override
     from rails_tpu.core.config import get_experiment_config
     from rails_tpu.data.datasets import get_reco_dataset
     from rails_tpu.train.checkpoint import restore_checkpoint
     from rails_tpu.train.loop import create_train_state
 
     cfg = get_experiment_config(args.config)
+    for ov in args.set:
+        key, _, val = ov.partition("=")
+        cfg = apply_override(cfg, key, val)
     ds = get_reco_dataset(cfg.data, args.data_root)
     t = cfg.train
     eval_batches = list(

@@ -52,12 +52,20 @@ class SequenceDataset:
         sequences: RaggedSequences,
         max_sequence_length: int,
         ignore_last_n: int,
+        sample_ratio: float = 1.0,
     ) -> None:
+        """`sample_ratio` < 1 randomly keeps that fraction of each user's
+        events, sampled once per user (the reference's
+        `positional_sampling_ratio`, `dataset.py:91-97`, cached per worker).
+        """
         self._seqs = sequences
         self._max_seq_len = max_sequence_length
         self._ignore_last_n = ignore_last_n
+        self._sample_ratio = sample_ratio
+        if sample_ratio < 1.0:
+            self._seqs = _subsample_events(sequences, sample_ratio, seed=0)
         # Users must retain >= 2 events (1 history + 1 target) after trimming.
-        lens = np.diff(sequences.offsets) - ignore_last_n
+        lens = np.diff(self._seqs.offsets) - ignore_last_n
         self._valid_users = np.nonzero(lens >= 2)[0]
 
     def __len__(self) -> int:
@@ -167,6 +175,25 @@ class RecoDataset:
     all_item_ids: np.ndarray     # (num_unique_items,) int32, ids > 0
     train_dataset: SequenceDataset
     eval_dataset: SequenceDataset
+
+
+def _subsample_events(
+    seqs: RaggedSequences, ratio: float, seed: int
+) -> RaggedSequences:
+    """Keep ~ratio of each user's events (sampled once, deterministic)."""
+    rng = np.random.default_rng(seed)
+    keep = rng.random(len(seqs.item_ids)) < ratio
+    lens = np.add.reduceat(keep.astype(np.int64), seqs.offsets[:-1])
+    lens = np.where(np.diff(seqs.offsets) > 0, lens, 0)
+    offsets = np.zeros(len(seqs.user_ids) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    return RaggedSequences(
+        user_ids=seqs.user_ids,
+        offsets=offsets,
+        item_ids=seqs.item_ids[keep],
+        ratings=seqs.ratings[keep],
+        timestamps=seqs.timestamps[keep],
+    )
 
 
 def generate_synthetic_sequences(
@@ -321,6 +348,10 @@ def get_reco_dataset(
         num_unique_items=len(all_item_ids),
         max_item_id=max_item_id,
         all_item_ids=all_item_ids,
-        train_dataset=SequenceDataset(seqs, cfg.max_sequence_length, ignore_last_n=1),
+        # Positional subsampling applies to train only (`reco_dataset.py:52,59`).
+        train_dataset=SequenceDataset(
+            seqs, cfg.max_sequence_length, ignore_last_n=1,
+            sample_ratio=cfg.positional_sampling_ratio,
+        ),
         eval_dataset=SequenceDataset(seqs, cfg.max_sequence_length, ignore_last_n=0),
     )

@@ -222,12 +222,14 @@ def _naive_candidates(
     """Per-(query-group, item-group) dot-product top-k_per_group union.
 
     Reference: `MoLNaiveTopK.forward` non-FAISS branch (`mol_top_k.py:241-257`).
-    Returns (B, P_Q * P_X * k_per_group) corpus positions.
+    Returns (B, P_Q * P_X * k_per_group) corpus positions. The per-group
+    budget is clamped to the corpus size.
     """
     q_comp = model.apply(
         params, query_embeddings, user_ids, method=model.query_components
     )                                          # (B, P_Q, d_P)
     i_comp = state.item_tables.component_embeddings   # (X, P_X, d_P)
+    k_per_group = min(k_per_group, i_comp.shape[0])
     sims = jnp.einsum(
         "bnd,xmd->bnmx", q_comp.astype(i_comp.dtype), i_comp,
         preferred_element_type=jnp.float32,
@@ -263,7 +265,9 @@ def mol_avg_top_k(
     (`MoLAvgTopK.forward`, `mol_top_k.py:328-396`). The four
     `jax.named_scope` phases mirror the reference's torch.profiler
     `record_function` scopes (`mol_top_k.py:350-371`) for trace tooling.
+    The prefilter budget is clamped to the corpus size.
     """
+    avg_top_k = min(avg_top_k, state.item_ids.shape[0])
     q_comp = model.apply(
         params, query_embeddings, user_ids, method=model.query_components
     )                                          # (B, P_Q, d_P)
@@ -296,7 +300,9 @@ def mol_comb_top_k(
     user_ids: Optional[jnp.ndarray] = None,
 ) -> TopKResult:
     """Union of Naive per-group and Avg candidates, one rerank
-    (`MoLCombTopK.forward`, `mol_top_k.py:467-551`)."""
+    (`MoLCombTopK.forward`, `mol_top_k.py:467-551`). Budgets clamp to the
+    corpus size."""
+    avg_top_k = min(avg_top_k, state.item_ids.shape[0])
     naive = _naive_candidates(
         model, params, state, query_embeddings, k_per_group, user_ids
     )

@@ -156,8 +156,13 @@ def make_eval_step(
             model, params, topk_state, queries, k_prime,
             user_ids=features.user_ids, item_embeddings=item_embeddings,
         )
+        # Approximate algorithms may return fewer than k' candidates when
+        # their budget is below the request (e.g. MoLAvgTopK100 with k=120);
+        # the reference simply errors there (`mol_top_k.py:383-385`). Cap k
+        # to the pool — metric thresholds beyond it just count as misses.
+        k_eff = min(k, res.ids.shape[1])
         res = select_top_k_with_invalid_filter(
-            res, features.ids if filter_invalid_ids else None, k
+            res, features.ids if filter_invalid_ids else None, k_eff
         )
         ranks = ranks_from_top_k(res.ids, target_ids)
         return ranks, res.ids, res.scores

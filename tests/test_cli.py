@@ -1,0 +1,71 @@
+"""CLI smoke tests: train, eval, sweep on tiny synthetic data (CPU)."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+TINY = [
+    "--set", "data.synthetic_num_users=96",
+    "--set", "data.synthetic_num_items=120",
+    "--set", "train.local_batch_size=16",
+    "--set", "train.eval_batch_size=16",
+    "--set", "train.num_negatives=8",
+    "--set", "train.num_epochs=1",
+    "--set", "train.eval_interval=100",
+    "--set", "train.partial_eval_num_iters=1",
+]
+
+
+def test_train_cli(tmp_path, capsys):
+    from rails_tpu.cli.train import main
+
+    main(["--config", "synthetic-small", "--workdir", str(tmp_path)] + TINY)
+    runs = os.listdir(tmp_path)
+    assert len(runs) == 1
+
+
+def test_eval_cli(capsys):
+    from rails_tpu.cli.eval import main
+
+    main([
+        "--config", "synthetic-small", "--top-k-method", "MoLAvgTopK100",
+        "--k", "50", "--eval-against-brute-force", "--limit-users", "32",
+    ] + TINY)
+    out = capsys.readouterr().out.strip().splitlines()
+    header, values = out[-2], out[-1]
+    assert "MoLAvgTopK100_hr@10" in header
+    assert "recall@50" in header
+    vals = [float(v) for v in values.split(",")]
+    assert all(np.isfinite(v) for v in vals)
+    # recall@50 with a generous prefilter on a 120-item corpus should be high.
+    rec = dict(zip(header.split(","), vals))
+    assert rec["MoLAvgTopK100_recall@50"] > 0.9
+
+
+def test_sweep_cli(tmp_path, capsys):
+    from rails_tpu.cli.sweep import main
+
+    out_csv = str(tmp_path / "sweep.csv")
+    main([
+        "--config", "synthetic-small", "--limit-users", "32",
+        "--no-eval-time", "--output-csv", out_csv,
+    ] + TINY)
+    lines = open(out_csv).read().strip().splitlines()
+    assert len(lines) >= 4   # header + several algorithms
+    assert "algorithm" in lines[0]
+
+
+def test_config_override_parsing():
+    from rails_tpu.cli.train import apply_override
+    from rails_tpu.core.config import get_experiment_config
+
+    cfg = get_experiment_config("synthetic-small")
+    cfg = apply_override(cfg, "train.learning_rate", "3e-4")
+    assert cfg.train.learning_rate == 3e-4
+    cfg = apply_override(cfg, "mol.uid_embedding_hash_sizes", "(64,)")
+    assert cfg.mol.uid_embedding_hash_sizes == (64,)
+    cfg = apply_override(cfg, "model_type", "SASRec")
+    assert cfg.model_type == "SASRec"
