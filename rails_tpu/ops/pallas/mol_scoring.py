@@ -159,7 +159,7 @@ def prepare_fused_tables(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("temperature", "block_x", "interpret"),
+    static_argnames=("temperature", "block_x", "block_b", "interpret"),
 )
 def fused_mol_scores_t(
     q_comp: jnp.ndarray,          # (B, P_Q, d_P)
@@ -169,9 +169,14 @@ def fused_mol_scores_t(
     weights: MoLKernelWeights,
     temperature: float,
     block_x: int = 256,
+    block_b: int = 32,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """(B, X) MoL scores against pre-transposed corpus tables.
+
+    The grid tiles both the corpus (block_x) and the query batch (block_b);
+    per-step VMEM peaks at ~ block_b * block_x * 4 * (H + 3L) bytes, so large
+    batches stay within the ~16 MB VMEM budget.
 
     `interpret=None` auto-selects interpreter mode on CPU (tests / virtual
     meshes run the same code path; the 'axon'-tunneled TPU compiles)."""
@@ -183,47 +188,55 @@ def fused_mol_scores_t(
     h = weights.w1.shape[1]
     assert x % block_x == 0, f"X={x} not a multiple of block_x={block_x}"
     assert weights.w1.shape[0] == l and weights.w2.shape == (h, l)
+    block_b = min(block_b, b)
+    pad_b = (-b) % block_b
 
     qT = jnp.transpose(q_comp, (1, 0, 2))                  # (P_Q, B, d_P)
     qpT = query_partial.T                                  # (L, B)
+    if pad_b:
+        qT = jnp.pad(qT, ((0, 0), (0, pad_b), (0, 0)))
+        qpT = jnp.pad(qpT, ((0, 0), (0, pad_b)))
+    bp = b + pad_b
     itemT = item_comp_t
     ipT = item_partial_t
 
-    grid = (x // block_x,)
+    grid = (bp // block_b, x // block_x)
     kernel = functools.partial(
         _kernel, p_q=p_q, p_x=p_x, inv_temperature=1.0 / temperature
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((p_q, b, d_p), lambda i: (0, 0, 0),
+            pl.BlockSpec((p_q, block_b, d_p), lambda j, i: (0, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((l, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((p_x, d_p, block_x), lambda i: (0, 0, i),
+            pl.BlockSpec((l, block_b), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((l, block_x), lambda i: (0, i),
+            pl.BlockSpec((p_x, d_p, block_x), lambda j, i: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((l, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, l), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, l), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((l, block_x), lambda j, i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((l, h), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, l), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((b, block_x), lambda i: (0, i),
+        out_specs=pl.BlockSpec((block_b, block_x), lambda j, i: (j, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, x), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((l, b, block_x), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((bp, x), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((l, block_b, block_x), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * x * l * (d_p + 2 * h),
             bytes_accessed=(
-                itemT.size * itemT.dtype.itemsize
-                + ipT.size * ipT.dtype.itemsize
+                (itemT.size * itemT.dtype.itemsize
+                 + ipT.size * ipT.dtype.itemsize) * (bp // block_b)
                 + b * x * 4
             ),
             transcendentals=b * x * l * 2,
         ),
         interpret=interpret,
     )(qT, qpT, itemT, ipT, weights.w1, weights.b1, weights.w2, weights.b2)
+    return out[:b]
 
 
 def fused_mol_scores(

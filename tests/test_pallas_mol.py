@@ -115,6 +115,42 @@ def test_fused_topk_factory_matches_brute_force():
     )
 
 
+def test_fused_batch_tiling(mol_setup):
+    """block_b smaller than B (and B not a multiple) must give identical
+    scores to a single-tile run."""
+    cfg, module, params, q, items, uids = mol_setup
+    tables = module.apply(
+        params, jnp.asarray(items), method=MoLSimilarity.build_item_tables
+    )
+    q_comp, _ = module.apply(
+        params, jnp.asarray(q), method=MoLSimilarity.query_components,
+        user_ids=jnp.asarray(uids),
+    )
+    qp = module.apply(
+        params, jnp.asarray(q),
+        method=lambda m, e: m.gating_query(e, train=False),
+    )
+    weights = extract_gating_qi_weights({"params": params["params"]})
+    comp_p, gp_p, x = pad_corpus_tables(
+        tables.component_embeddings, tables.gating_partial, block_x=128
+    )
+    from rails_tpu.ops.pallas.mol_scoring import fused_mol_scores_t
+
+    itemT = jnp.transpose(comp_p, (1, 2, 0))
+    ipT = gp_p.T
+    ref = fused_mol_scores_t(
+        q_comp, qp, itemT, ipT, weights, cfg.temperature,
+        block_x=128, block_b=8, interpret=True,
+    )
+    tiled = fused_mol_scores_t(
+        q_comp, qp, itemT, ipT, weights, cfg.temperature,
+        block_x=128, block_b=3, interpret=True,   # 8 % 3 != 0 -> pad path
+    )
+    np.testing.assert_allclose(
+        np.asarray(tiled), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_fused_bf16_tables_close(mol_setup):
     cfg, module, params, q, items, uids = mol_setup
     tables = module.apply(
