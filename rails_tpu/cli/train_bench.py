@@ -1,0 +1,93 @@
+"""Training-throughput benchmark: jitted train-step users/sec on one chip.
+
+The reference trains ML-20M at local_batch_size=128 per GPU with DDP
+(`configs/ml-20m/...gin`); its training throughput is not published, so this
+reports absolute users/sec/chip for the same model geometry + loss (128
+sampled negatives), measured over distinct batches with every loss fetched.
+
+Usage: python -m rails_tpu.cli.train_bench [--batch-size 128] [--runs 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default="ml-20m-hstu-mol")
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--num-items", type=int, default=26744)
+    p.add_argument("--runs", type=int, default=10)
+    p.add_argument("--bf16", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from rails_tpu.core.config import get_experiment_config
+    from rails_tpu.data.datasets import SequenceDataset, generate_synthetic_sequences
+    from rails_tpu.train.loop import create_train_state
+
+    cfg = get_experiment_config(args.config)
+    cfg = cfg.replace(
+        data=cfg.data.replace(
+            dataset_name="synthetic",
+            synthetic_num_users=max(args.batch_size * (args.runs + 2), 1024),
+            synthetic_num_items=args.num_items,
+        ),
+        train=cfg.train.replace(
+            local_batch_size=args.batch_size,
+            main_module_bf16=args.bf16 or cfg.train.main_module_bf16,
+        ),
+    )
+    seqs = generate_synthetic_sequences(
+        num_users=cfg.data.synthetic_num_users, num_items=args.num_items,
+        max_len=64, seed=0,
+    )
+    ds = SequenceDataset(seqs, cfg.data.max_sequence_length, ignore_last_n=1)
+    batches = []
+    for i, b in enumerate(
+        ds.batches(
+            batch_size=args.batch_size,
+            max_output_length=cfg.train.gr_output_length + 1,
+            shuffle=True, seed=1, drop_last=True,
+        )
+    ):
+        batches.append(b)
+        if len(batches) >= args.runs:
+            break
+    all_ids = np.arange(1, args.num_items + 1, dtype=np.int32)
+    model, state, train_step, _ = create_train_state(
+        cfg, args.num_items, all_ids, batches[0]
+    )
+    rng = jax.random.PRNGKey(0)
+
+    state, m = train_step(state, batches[0], rng)
+    np.asarray(m["loss"])                        # compile + fetch
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        losses = []
+        for b in batches:
+            state, m = train_step(state, b, rng)
+            losses.append(m["loss"])
+        for l in losses:
+            np.asarray(l)
+        best = min(best, (time.perf_counter() - t0) / len(batches))
+    print(json.dumps({
+        "metric": "train_step_users_per_sec",
+        "config": args.config,
+        "batch_size": args.batch_size,
+        "value": round(args.batch_size / best, 2),
+        "unit": "users/sec/chip",
+        "ms_per_step": round(best * 1e3, 3),
+        "final_loss": float(np.asarray(m["loss"])),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(
     q_ref,        # (P_Q, B, d_P)        query component embeddings
-    qp_ref,       # (L, B)               query gating partial
+    qp_ref,       # (B, L)               query gating partial
     item_ref,     # (P_X, d_P, TX)       item component block (transposed)
     ip_ref,       # (L, TX)              item gating partial block
     w1_ref,       # (L, H)
@@ -85,7 +85,7 @@ def _kernel(
 
     # glu_silu combination: gi = qp*ip + qi; gw = gi * sigmoid(gi).
     gi = (
-        qp_ref[:].astype(jnp.float32)[:, :, None]
+        qp_ref[:].astype(jnp.float32).T[:, :, None]
         * ip_ref[:].astype(jnp.float32)[:, None, :]
         + qi
     )
@@ -192,10 +192,10 @@ def fused_mol_scores_t(
     pad_b = (-b) % block_b
 
     qT = jnp.transpose(q_comp, (1, 0, 2))                  # (P_Q, B, d_P)
-    qpT = query_partial.T                                  # (L, B)
+    qpT = query_partial                                    # (B, L)
     if pad_b:
         qT = jnp.pad(qT, ((0, 0), (0, pad_b), (0, 0)))
-        qpT = jnp.pad(qpT, ((0, 0), (0, pad_b)))
+        qpT = jnp.pad(qpT, ((0, pad_b), (0, 0)))
     bp = b + pad_b
     itemT = item_comp_t
     ipT = item_partial_t
@@ -210,7 +210,7 @@ def fused_mol_scores_t(
         in_specs=[
             pl.BlockSpec((p_q, block_b, d_p), lambda j, i: (0, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((l, block_b), lambda j, i: (0, j),
+            pl.BlockSpec((block_b, l), lambda j, i: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((p_x, d_p, block_x), lambda j, i: (0, 0, i),
                          memory_space=pltpu.VMEM),
