@@ -124,6 +124,34 @@ def make_train_step(
 ) -> Callable:
     loss_weights = dict(cfg.train.loss_weights)
 
+    # Loss dispatch (`train.py:236-254`): SampledSoftmaxLoss | BCELoss |
+    # BCELossWithRatings.
+    if cfg.train.loss_module == "SampledSoftmaxLoss":
+        def apply_loss(params, features, sampler, rngs):
+            return model.apply(
+                params, features, sampler,
+                cfg.train.num_negatives, cfg.train.temperature, True,
+                method=sampled_softmax_loss, rngs=rngs,
+            )
+    elif cfg.train.loss_module == "BCELoss":
+        from rails_tpu.losses.bce import bce_loss
+
+        def apply_loss(params, features, sampler, rngs):
+            return model.apply(
+                params, features, sampler, cfg.train.temperature, True,
+                method=bce_loss, rngs=rngs,
+            )
+    elif cfg.train.loss_module == "BCELossWithRatings":
+        from rails_tpu.losses.bce import bce_loss_with_ratings
+
+        def apply_loss(params, features, sampler, rngs):
+            return model.apply(
+                params, features, sampler, cfg.train.temperature, True,
+                method=bce_loss_with_ratings, rngs=rngs,
+            )
+    else:
+        raise ValueError(f"Unknown loss_module {cfg.train.loss_module!r}")
+
     def train_step(
         state: TrainState, batch: Batch, rng: jax.Array, sampler=sampler
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
@@ -131,15 +159,9 @@ def make_train_step(
         dropout_rng, sampler_rng = jax.random.split(jax.random.fold_in(rng, state.step))
 
         def loss_fn(params):
-            main_loss, aux = model.apply(
-                params,
-                features,
-                sampler,
-                cfg.train.num_negatives,
-                cfg.train.temperature,
-                True,
-                method=sampled_softmax_loss,
-                rngs={"dropout": dropout_rng, "sampler": sampler_rng},
+            main_loss, aux = apply_loss(
+                params, features, sampler,
+                {"dropout": dropout_rng, "sampler": sampler_rng},
             )
             total = get_weighted_loss(main_loss, aux, loss_weights)
             return total, (main_loss, aux)

@@ -173,6 +173,31 @@ class TestBCELosses:
         assert np.isfinite(float(loss))
 
 
+class TestLossDispatch:
+    @pytest.mark.parametrize("loss_module", ["BCELoss", "BCELossWithRatings"])
+    def test_train_step_with_bce(self, loss_module):
+        cfg = get_experiment_config("synthetic-small")
+        cfg = cfg.replace(
+            data=cfg.data.replace(synthetic_num_users=64, synthetic_num_items=100),
+            train=cfg.train.replace(
+                local_batch_size=8, num_negatives=1, temperature=1.0,
+                loss_module=loss_module, loss_weights=(),
+            ),
+        )
+        ds = get_reco_dataset(cfg.data)
+        batch = next(
+            ds.train_dataset.batches(
+                batch_size=8, max_output_length=cfg.train.gr_output_length + 1,
+                shuffle=False,
+            )
+        )
+        model, state, train_step, _ = create_train_state(
+            cfg, ds.max_item_id, ds.all_item_ids, batch
+        )
+        state, m = train_step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(m["loss"]))
+
+
 class TestEmbeddingModules:
     def test_local_padding_row_zero(self):
         mod = LocalEmbeddingModule(num_items=10, item_embedding_dim=4)
