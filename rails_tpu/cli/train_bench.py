@@ -24,6 +24,8 @@ def main(argv=None) -> None:
     p.add_argument("--num-items", type=int, default=26744)
     p.add_argument("--runs", type=int, default=10)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--remat", action="store_true",
+                   help="activation-checkpoint the negatives scoring")
     args = p.parse_args(argv)
 
     import jax
@@ -42,6 +44,7 @@ def main(argv=None) -> None:
         train=cfg.train.replace(
             local_batch_size=args.batch_size,
             main_module_bf16=args.bf16 or cfg.train.main_module_bf16,
+            loss_activation_checkpoint=args.remat,
         ),
     )
     seqs = generate_synthetic_sequences(

@@ -206,6 +206,7 @@ class TrainConfig(_Base):
     num_negatives: int = 128
     temperature: float = 1.0                 # sampled-softmax temperature
     loss_weights: Tuple[Tuple[str, float], ...] = ()
+    loss_activation_checkpoint: bool = False  # remat the negatives scoring
     sampling_strategy: str = "local"         # | "in-batch"
     item_l2_norm: bool = False
     l2_norm_eps: float = 1e-6

@@ -34,6 +34,8 @@ def sampled_softmax_loss(
     num_negatives: int,
     softmax_temperature: float,
     train: bool = True,
+    activation_checkpoint: bool = False,
+    checkpoint_chunks: int = 4,
 ) -> Tuple[jnp.ndarray, AuxLosses]:
     """Returns (scalar loss, aux losses).
 
@@ -101,13 +103,43 @@ def sampled_softmax_loss(
     )
     positive_logits = positive_logits / softmax_temperature        # (M, 1)
 
-    negative_logits, _ = model.similarity_fn(
-        q,
-        sampled_neg_embeddings,              # (M, R, D)
-        user_ids=user_ids_flat,
-        train=train,
-        weights=w_flat,
-    )
+    if activation_checkpoint and train:
+        # Rematerialized, chunked negatives scoring: the (M, R, L) logits and
+        # (M, R, H) gating hidden activations are the training-memory hot
+        # spot; remat recomputes them per chunk in the backward pass instead
+        # of storing them. The aux losses come from the positives call only
+        # (as in the reference, `losses/sampled_softmax.py:66-78`), so
+        # discarding the negatives' aux here changes nothing.
+        # Reference flag: `activation_checkpoint`
+        # (`losses/sampled_softmax.py:37,172-177`).
+        from flax import linen as nn
+
+        def _score_neg(mdl, q_c, neg_emb_c, uid_c):
+            out, _ = mdl.similarity_fn(
+                q_c, neg_emb_c, user_ids=uid_c, train=True
+            )
+            return out
+
+        score_neg = nn.remat(_score_neg)
+        chunk = -(-m // checkpoint_chunks)
+        parts = []
+        for s in range(0, m, chunk):
+            e = min(s + chunk, m)
+            parts.append(
+                score_neg(
+                    model, q[s:e], sampled_neg_embeddings[s:e],
+                    user_ids_flat[s:e],
+                )
+            )
+        negative_logits = jnp.concatenate(parts, axis=0)
+    else:
+        negative_logits, _ = model.similarity_fn(
+            q,
+            sampled_neg_embeddings,          # (M, R, D)
+            user_ids=user_ids_flat,
+            train=train,
+            weights=w_flat,
+        )
     negative_logits = jnp.where(
         sup_ids_flat[:, None] == sampled_ids,
         -5e4,

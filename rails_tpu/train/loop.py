@@ -131,6 +131,7 @@ def make_train_step(
             return model.apply(
                 params, features, sampler,
                 cfg.train.num_negatives, cfg.train.temperature, True,
+                cfg.train.loss_activation_checkpoint,
                 method=sampled_softmax_loss, rngs=rngs,
             )
     elif cfg.train.loss_module == "BCELoss":

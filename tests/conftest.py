@@ -22,3 +22,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite is compile-dominated (~12 min cold);
+# repeat runs reuse compiled programs.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
