@@ -88,23 +88,41 @@ def main(argv=None) -> None:
     vocab = min(x, 100_000)
 
     @jax.jit
-    def corpus_embeddings(params, key):
+    def embed_chunk(key, chunk_ids):
         base = model.apply(
-            params, (jnp.arange(x, dtype=jnp.int32) % vocab) + 1,
+            params, (chunk_ids - 1) % vocab + 1,
             method=model.get_item_embeddings,
         )
         noise = 0.05 * jax.random.normal(key, base.shape, base.dtype)
         return base + noise
 
-    item_emb = corpus_embeddings(params, jax.random.PRNGKey(0))
-    state_tk = build_mol_topk_state(
-        model, params, ids, item_emb, table_dtype=jnp.bfloat16,
-        build_fused="Fused" in args.method,
-    )
-    bytes_tables = (
-        state_tk.item_tables.component_embeddings.size * 2
-        + state_tk.item_tables.gating_partial.size * 2
-    )
+    if "Fused" in args.method and x > 1_000_000:
+        # Chunked streaming build: only (chunk, D) temporaries on device.
+        from rails_tpu.index.top_k import build_fused_state_chunked
+
+        state_tk = build_fused_state_chunked(
+            model, params, ids,
+            embed_chunk_fn=lambda start, cids: embed_chunk(
+                jax.random.PRNGKey(start), cids
+            ),
+            table_dtype=jnp.bfloat16,
+        )
+    else:
+        item_emb = embed_chunk(jax.random.PRNGKey(0), ids)
+        state_tk = build_mol_topk_state(
+            model, params, ids, item_emb, table_dtype=jnp.bfloat16,
+            build_fused="Fused" in args.method,
+        )
+    if state_tk.fused_tables is not None:
+        bytes_tables = (
+            state_tk.fused_tables.item_comp_t.size * 2
+            + state_tk.fused_tables.item_partial_t.size * 2
+        )
+    else:
+        bytes_tables = (
+            state_tk.item_tables.component_embeddings.size * 2
+            + state_tk.item_tables.gating_partial.size * 2
+        )
     logging.info(
         "corpus: %d items, component tables %.2f GB, %d-way item sharding",
         x, bytes_tables / 1e9, item_parallel,

@@ -40,6 +40,59 @@ class ItemFeatures:
         return out
 
 
+def load_movielens_item_features(
+    movies_csv: str,
+    max_item_id: int,
+    max_ind_range=(63, 16383, 511),
+    max_jagged_dimension: int = 16,
+) -> ItemFeatures:
+    """Hashed MovieLens side features: genres, title words, year.
+
+    Reference: `get_reco_dataset` (`/root/reference/data/reco_dataset.py:94-146`).
+    One divergence: the reference hashes with Python `hash()` (which varies
+    per process via PYTHONHASHSEED); a stable crc32 is used here so features
+    are reproducible.
+    """
+    import zlib
+
+    import pandas as pd
+
+    def h(s: str, mod: int) -> int:
+        return zlib.crc32(str(s).encode()) % mod
+
+    items = pd.read_csv(movies_csv, delimiter=",")
+    per_feature = [
+        [np.asarray([], dtype=np.int64)] * (max_item_id + 1) for _ in range(3)
+    ]
+    for _, row in items.iterrows():
+        movie_id = int(row["movie_id"])
+        if movie_id > max_item_id:
+            continue
+        genres = str(row["genres"]).split("|")
+        titles = str(row.get("cleaned_title", row.get("title", ""))).split(" ")
+        per_feature[0][movie_id] = np.asarray(
+            [h(x, max_ind_range[0]) for x in genres[:max_jagged_dimension]],
+            dtype=np.int64,
+        )
+        per_feature[1][movie_id] = np.asarray(
+            [h(x, max_ind_range[1]) for x in titles[:max_jagged_dimension]],
+            dtype=np.int64,
+        )
+        per_feature[2][movie_id] = np.asarray(
+            [h(row["year"], max_ind_range[2])], dtype=np.int64
+        )
+    offsets, values = [], []
+    for f in range(3):
+        lens = np.array([len(v) for v in per_feature[f]], dtype=np.int64)
+        offs = np.zeros(max_item_id + 2, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        offsets.append(offs)
+        values.append(np.concatenate(per_feature[f]))
+    return ItemFeatures(
+        max_item_id=max_item_id, num_features=3, offsets=offsets, values=values
+    )
+
+
 def build_item_features(
     item_ids: np.ndarray, feature_lists: List[List[np.ndarray]], max_item_id: int
 ) -> ItemFeatures:

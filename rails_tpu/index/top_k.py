@@ -63,6 +63,7 @@ def build_mol_topk_state(
     table_dtype: jnp.dtype = jnp.bfloat16,
     build_fused: bool = False,
     fused_block_x: int = 256,
+    fused_only: bool = False,
 ) -> MoLTopKState:
     """Precompute item-side tables for a corpus (X, D).
 
@@ -93,6 +94,23 @@ def build_mol_topk_state(
         fused = FusedCorpusTables(
             item_comp_t=item_t, item_partial_t=ip_t, num_items=comp.shape[0]
         )
+    if fused_only:
+        # Brute-force-fused-only serving: skip the standard-layout component
+        # table (it would double corpus memory). The avg prefilter table is
+        # kept (d_P per item, cheap) so Avg-style prefilters remain possible.
+        assert fused is not None, "fused_only requires build_fused=True"
+        empty = MoLItemTables(
+            component_embeddings=jnp.zeros(
+                (0,) + tuple(comp.shape[1:]), table_dtype
+            ),
+            gating_partial=None,
+        )
+        return MoLTopKState(
+            item_ids=item_ids.astype(jnp.int32),
+            item_tables=empty,
+            avg_component=avg.astype(table_dtype),
+            fused_tables=fused,
+        )
     return MoLTopKState(
         item_ids=item_ids.astype(jnp.int32),
         item_tables=MoLItemTables(
@@ -104,6 +122,70 @@ def build_mol_topk_state(
         ),
         avg_component=avg.astype(table_dtype),
         fused_tables=fused,
+    )
+
+
+def build_fused_state_chunked(
+    model,
+    params,
+    item_ids: jnp.ndarray,               # (X,) int32
+    embed_chunk_fn,                      # fn(start, ids_chunk) -> (C, D) emb
+    chunk_size: int = 262_144,
+    table_dtype: jnp.dtype = jnp.bfloat16,
+    fused_block_x: int = 256,
+) -> MoLTopKState:
+    """Stream a huge corpus through the item MLPs chunk by chunk, assembling
+    kernel-layout fused tables host-side (peak device memory = one chunk).
+
+    For 10M+ item corpora the one-shot builder's temporaries (raw embeddings
+    + component tables + transpose copies) exceed HBM; this builder keeps
+    only (chunk, D) on device at a time.
+    """
+    import numpy as np
+
+    x = int(item_ids.shape[0])
+    xp = ((x + fused_block_x - 1) // fused_block_x) * fused_block_x
+    p_x = model.cfg.mol.item_dot_product_groups
+    d_p = model.cfg.mol.dot_product_dimension
+    l = model.cfg.mol.num_logits
+
+    @jax.jit
+    def _chunk_tables(params, emb):
+        t = model.apply(params, emb, method=model.build_item_tables)
+        comp_t = jnp.transpose(
+            t.component_embeddings.astype(table_dtype), (1, 2, 0)
+        )                                          # (P_X, d_P, C)
+        gp_t = t.gating_partial.astype(table_dtype).T      # (L, C)
+        avg = t.component_embeddings.mean(axis=1).astype(table_dtype)
+        return comp_t, gp_t, avg
+
+    np_dtype = np.dtype(jnp.dtype(table_dtype).name)
+    host_comp = np.zeros((p_x, d_p, xp), dtype=np_dtype)
+    host_gp = np.zeros((l, xp), dtype=np_dtype)
+    host_avg = np.zeros((xp, d_p), dtype=np_dtype)
+    for start in range(0, x, chunk_size):
+        end = min(start + chunk_size, x)
+        emb = embed_chunk_fn(start, item_ids[start:end])
+        comp_t, gp_t, avg = _chunk_tables(params, emb)
+        host_comp[:, :, start:end] = np.asarray(comp_t)
+        host_gp[:, start:end] = np.asarray(gp_t)
+        host_avg[start:end] = np.asarray(avg)
+
+    from rails_tpu.ops.pallas.mol_scoring import FusedCorpusTables
+
+    ids_p = jnp.zeros((xp,), jnp.int32).at[:x].set(item_ids.astype(jnp.int32))
+    return MoLTopKState(
+        item_ids=ids_p,
+        item_tables=MoLItemTables(
+            component_embeddings=jnp.zeros((0, p_x, d_p), table_dtype),
+            gating_partial=None,
+        ),
+        avg_component=jnp.asarray(host_avg),
+        fused_tables=FusedCorpusTables(
+            item_comp_t=jnp.asarray(host_comp),
+            item_partial_t=jnp.asarray(host_gp),
+            num_items=x,
+        ),
     )
 
 
