@@ -214,3 +214,29 @@ class TestRanksAndMetrics:
         assert 0.0 <= summary["hr@50"] <= 1.0
         assert summary["hr@10"] <= summary["hr@50"] + 1e-9
         assert lat is None
+
+
+class TestFactoryNameCoverage:
+    def test_all_reference_factory_names_parse(self):
+        """Every top_k_method name the reference factory supports
+        (`indexing/utils_rails.py:25-233`) must resolve here."""
+        from rails_tpu.index.factory import get_top_k_raw
+
+        names = (
+            ["MIPSBruteForceTopK", "MoLBruteForceTopK", "MoLBruteForceTopKFused"]
+            + [f"MoLNaiveTopK{k}" for k in (5, 10, 25, 50, 75, 100)]
+            + ["MoLNaiveFaissTopK5"]
+            + [f"MoLAvgTopK{k}" for k in
+               (100, 200, 300, 400, 500, 800, 1000, 1500, 2000, 4000)]
+            + ["MoLCombTopK5_200", "MoLCombTopK10_100", "MoLCombTopK50_500",
+               "MoLCombTopK100_1000"]
+        )
+        for name in names:
+            assert callable(get_top_k_raw(name)), name
+
+    def test_unknown_name_raises(self):
+        from rails_tpu.index.factory import get_top_k_raw
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            get_top_k_raw("MoLMagicTopK")
