@@ -240,3 +240,47 @@ class TestFactoryNameCoverage:
 
         with _pytest.raises(ValueError):
             get_top_k_raw("MoLMagicTopK")
+
+
+class TestChunkedFusedBuilder:
+    def test_chunked_matches_oneshot(self, trained):
+        from rails_tpu.index.top_k import (
+            build_fused_state_chunked,
+            build_mol_topk_state,
+        )
+
+        cfg, ds, model, params, batches = trained
+        ids = jnp.asarray(ds.all_item_ids, dtype=jnp.int32)
+        item_emb = model.apply(params, ids, method=model.get_item_embeddings)
+        ref = build_mol_topk_state(
+            model, params, ids, item_emb, table_dtype=jnp.float32,
+            build_fused=True, fused_block_x=64,
+        )
+        chunked = build_fused_state_chunked(
+            model, params, ids,
+            embed_chunk_fn=lambda s, cids: model.apply(
+                params, cids, method=model.get_item_embeddings
+            ),
+            chunk_size=77,             # deliberately not divisible
+            table_dtype=jnp.float32,
+            fused_block_x=64,
+        )
+        np.testing.assert_allclose(
+            np.asarray(chunked.fused_tables.item_comp_t),
+            np.asarray(ref.fused_tables.item_comp_t),
+            rtol=1e-6, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(chunked.fused_tables.item_partial_t),
+            np.asarray(ref.fused_tables.item_partial_t),
+            rtol=1e-6, atol=1e-6,
+        )
+        x = len(ds.all_item_ids)
+        np.testing.assert_array_equal(
+            np.asarray(chunked.item_ids[:x]), np.asarray(ids)
+        )
+        assert (np.asarray(chunked.item_ids[x:]) == 0).all()
+        np.testing.assert_allclose(
+            np.asarray(chunked.avg_component[:x]),
+            np.asarray(ref.avg_component), rtol=1e-6, atol=1e-6,
+        )
