@@ -106,6 +106,7 @@ def main(argv=None) -> None:
                 jax.random.PRNGKey(start), cids
             ),
             table_dtype=jnp.bfloat16,
+            keep_on_host=True,
         )
     else:
         item_emb = embed_chunk(jax.random.PRNGKey(0), ids)

@@ -56,7 +56,10 @@ def pad_and_shard_state(
             return arr
         widths = [(0, 0)] * arr.ndim
         widths[axis] = (0, pad)
-        return jnp.pad(arr, widths)
+        # Host (numpy) tables pad host-side: at near-HBM corpus sizes an
+        # intermediate unsharded device copy would double-buffer and OOM.
+        pad_fn = np.pad if isinstance(arr, np.ndarray) else jnp.pad
+        return pad_fn(arr, widths)
 
     sh = item_sharding(mesh)
     put = lambda a: None if a is None else jax.device_put(pad0(a), sh)
@@ -66,8 +69,13 @@ def pad_and_shard_state(
         # Fused tables are pre-padded to a block multiple; re-pad to the
         # shard unit on the trailing (corpus) axis and shard that axis.
         fpad = (x + pad) - ft.item_comp_t.shape[2]
-        comp_t = jnp.pad(ft.item_comp_t, ((0, 0), (0, 0), (0, max(fpad, 0))))
-        part_t = jnp.pad(ft.item_partial_t, ((0, 0), (0, max(fpad, 0))))
+        fpad_fn = np.pad if isinstance(ft.item_comp_t, np.ndarray) else jnp.pad
+        if fpad > 0:
+            comp_t = fpad_fn(ft.item_comp_t, ((0, 0), (0, 0), (0, fpad)))
+            part_t = fpad_fn(ft.item_partial_t, ((0, 0), (0, fpad)))
+        else:
+            comp_t = ft.item_comp_t
+            part_t = ft.item_partial_t
         fused = FusedCorpusTables(
             item_comp_t=jax.device_put(
                 comp_t, NamedSharding(mesh, P(None, None, ITEM_AXIS))

@@ -133,6 +133,7 @@ def build_fused_state_chunked(
     chunk_size: int = 262_144,
     table_dtype: jnp.dtype = jnp.bfloat16,
     fused_block_x: int = 256,
+    keep_on_host: bool = False,
 ) -> MoLTopKState:
     """Stream a huge corpus through the item MLPs chunk by chunk, assembling
     kernel-layout fused tables host-side (peak device memory = one chunk).
@@ -140,6 +141,11 @@ def build_fused_state_chunked(
     For 10M+ item corpora the one-shot builder's temporaries (raw embeddings
     + component tables + transpose copies) exceed HBM; this builder keeps
     only (chunk, D) on device at a time.
+
+    `keep_on_host=True` leaves the big tables as numpy arrays so a downstream
+    `pad_and_shard_state` performs the single host->device (sharded)
+    transfer — at near-HBM-capacity corpus sizes an intermediate unsharded
+    device copy would double-buffer and OOM.
     """
     import numpy as np
 
@@ -173,17 +179,19 @@ def build_fused_state_chunked(
 
     from rails_tpu.ops.pallas.mol_scoring import FusedCorpusTables
 
-    ids_p = jnp.zeros((xp,), jnp.int32).at[:x].set(item_ids.astype(jnp.int32))
+    host_ids = np.zeros((xp,), np.int32)
+    host_ids[:x] = np.asarray(item_ids, dtype=np.int32)
+    conv = (lambda a: a) if keep_on_host else jnp.asarray
     return MoLTopKState(
-        item_ids=ids_p,
+        item_ids=conv(host_ids),
         item_tables=MoLItemTables(
             component_embeddings=jnp.zeros((0, p_x, d_p), table_dtype),
             gating_partial=None,
         ),
-        avg_component=jnp.asarray(host_avg),
+        avg_component=conv(host_avg),
         fused_tables=FusedCorpusTables(
-            item_comp_t=jnp.asarray(host_comp),
-            item_partial_t=jnp.asarray(host_gp),
+            item_comp_t=conv(host_comp),
+            item_partial_t=conv(host_gp),
             num_items=x,
         ),
     )
