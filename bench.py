@@ -29,7 +29,7 @@ import numpy as np
 BASELINE_QPS = 138496.0 / 120.0   # reference exact-MoL eval throughput
 
 
-def main() -> None:
+def run(batch_size: int) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -39,7 +39,6 @@ def main() -> None:
     from rails_tpu.train.loop import create_train_state
 
     num_items = 26744          # ML-20M unique-item count (SURVEY.md section 2)
-    batch_size = 512
     cfg = get_experiment_config("ml-20m-hstu-mol")
     cfg = cfg.replace(
         hstu=cfg.hstu.replace(fused_inference=True),
@@ -47,7 +46,7 @@ def main() -> None:
     cfg = cfg.replace(
         data=cfg.data.replace(
             dataset_name="synthetic",
-            synthetic_num_users=512 * 12,
+            synthetic_num_users=batch_size * 12,
             synthetic_num_items=num_items,
         ),
         train=cfg.train.replace(
@@ -109,9 +108,22 @@ def main() -> None:
         for o in outs:
             np.asarray(o[0])
         best_dt = min(best_dt, (time.perf_counter() - t0) / runs)
-    dt = best_dt
-    qps = batch_size / dt
+    return batch_size / best_dt
 
+
+def main() -> None:
+    # The TPU is shared in this environment; fall back to smaller batches if
+    # a run hits transient resource exhaustion.
+    qps = None
+    for bs in (512, 128, 32):
+        try:
+            qps = run(bs)
+            break
+        except Exception as e:                        # noqa: BLE001
+            print(f"# bench at batch={bs} failed ({type(e).__name__}); retrying smaller",
+                  flush=True)
+    if qps is None:
+        raise SystemExit("bench failed at every batch size")
     print(json.dumps({
         "metric": "exact_mol_top120_serving_qps_ml20m_scale",
         "value": round(qps, 2),
