@@ -165,6 +165,37 @@ class SequenceDataset:
         )
 
 
+def prefetch_batches(batch_iter: Iterator[Batch], depth: int = 2) -> Iterator[Batch]:
+    """Background-thread batch prefetcher.
+
+    The reference overlaps host batch assembly with device compute via
+    DataLoader worker processes + prefetch_factor
+    (`/root/reference/trainer/data_loader.py:48-57`); here a single daemon
+    thread keeps `depth` ready batches ahead (assembly is already native via
+    the C++ loader, so one thread suffices to hide it behind a train step).
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for b in batch_iter:
+                q.put(b)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        b = q.get()
+        if b is _END:
+            return
+        yield b
+
+
 @dataclass
 class RecoDataset:
     """`RecoDataset` (`/root/reference/data/reco_dataset.py:29-38`)."""

@@ -86,13 +86,17 @@ def run_training(
     final_metrics: Dict[str, float] = {}
     last_log = time.time()
 
+    from rails_tpu.data.datasets import prefetch_batches
+
     for epoch in range(epoch0, epochs):
-        for batch in ds.train_dataset.batches(
-            batch_size=t.local_batch_size,
-            max_output_length=max_output_length,
-            shuffle=True,
-            seed=t.random_seed + epoch,
-            drop_last=True,
+        for batch in prefetch_batches(
+            ds.train_dataset.batches(
+                batch_size=t.local_batch_size,
+                max_output_length=max_output_length,
+                shuffle=True,
+                seed=t.random_seed + epoch,
+                drop_last=True,
+            )
         ):
             if mesh is not None:
                 batch = shard_batch(batch, mesh)
