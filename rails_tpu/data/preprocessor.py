@@ -183,4 +183,19 @@ def get_common_preprocessors(root: str = ".") -> Dict[str, object]:
             root=root,
         ),
         "amzn-books": AmazonDataProcessor(root=root),
+        # ml-1b ("ml-20mx16x32"): the reference ships only a stub reading
+        # pre-downloaded npz shards with placeholder ratings/timestamps
+        # (`preprocessor.py:180-198`); kept as an explicit stub here too.
+        "ml-20mx16x32": _ML1BStub(),
     }
+
+
+class _ML1BStub:
+    output_format_csv = staticmethod(lambda: "tmp/ml-20mx16x32/sasrec_format.csv")
+
+    def preprocess_rating(self) -> int:
+        raise NotImplementedError(
+            "ml-1b (ml-20mx16x32) preprocessing requires the MLPerf npz "
+            "shards; the reference implements only a placeholder reader "
+            "(`/root/reference/data/preprocessor.py:180-198`)."
+        )
