@@ -21,6 +21,7 @@ _LIB_PATH = os.path.join(
     "libsequence_loader.so",
 )
 _lib = None
+_load_failed = False
 
 
 class _ParsedSequences(ctypes.Structure):
@@ -48,12 +49,16 @@ def _build_library() -> bool:
 
 
 def load_library(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
-    """Load (building on first use if a toolchain is available)."""
-    global _lib
+    """Load (building on first use if a toolchain is available). A failed
+    build/load is cached so callers don't re-invoke make per batch."""
+    global _lib, _load_failed
     if _lib is not None:
         return _lib
+    if _load_failed:
+        return None
     if not os.path.exists(_LIB_PATH):
         if not (build_if_missing and _build_library()):
+            _load_failed = True
             return None
     lib = ctypes.CDLL(_LIB_PATH)
     lib.parse_sasrec_csv.restype = ctypes.POINTER(_ParsedSequences)

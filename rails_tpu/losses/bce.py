@@ -12,7 +12,11 @@ import jax
 import jax.numpy as jnp
 
 from rails_tpu.data.features import SequentialFeatures
-from rails_tpu.losses.samplers import LocalNegativesSampler, maybe_l2_norm
+from rails_tpu.losses.samplers import (
+    InBatchNegativesSampler,
+    LocalNegativesSampler,
+    maybe_l2_norm,
+)
 from rails_tpu.models.preprocessors import length_mask
 
 AuxLosses = Dict[str, jnp.ndarray]
@@ -56,10 +60,20 @@ def bce_loss(
     user_ids_flat = jnp.repeat(features.user_ids, n - 1)
 
     rng = model.make_rng("sampler")
-    sampled_ids = sampler.sample(rng, (m, 1))
-    sampled_neg_embeddings = maybe_l2_norm(
-        model.get_item_embeddings(sampled_ids), sampler.l2_norm, sampler.l2_norm_eps
-    )
+    if isinstance(sampler, InBatchNegativesSampler):
+        flat_ids = ids.reshape(-1)
+        state = sampler.process_batch(
+            ids=flat_ids,
+            presences=flat_ids != 0,
+            embeddings=model.get_item_embeddings(flat_ids),
+        )
+        sampled_ids, sampled_neg_embeddings = sampler.sample(state, rng, (m, 1))
+    else:
+        sampled_ids = sampler.sample(rng, (m, 1))
+        sampled_neg_embeddings = maybe_l2_norm(
+            model.get_item_embeddings(sampled_ids), sampler.l2_norm,
+            sampler.l2_norm_eps,
+        )
 
     pos_logits, aux = model.similarity_fn(
         q, supervision_embeddings.reshape(m, 1, d),

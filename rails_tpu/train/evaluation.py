@@ -218,13 +218,16 @@ def eval_metrics_from_batches(
     for batch in batches:
         feats, target_ids = batch.features, batch.target_ids
         if include_eval_time and rng.random() < timing_fraction:
+            # The reference times repeated identical calls
+            # (`data/eval.py:140-170`); host-fetch every result, since remote
+            # backends can otherwise under-report completion.
             for _ in range(warmup_runs):
                 r, _, _ = step(params, feats, target_ids)
-            jax.block_until_ready(r)
+            np.asarray(r)
             t0 = time.perf_counter()
-            for _ in range(timed_runs):
-                r, _, _ = step(params, feats, target_ids)
-            jax.block_until_ready(r)
+            rs = [step(params, feats, target_ids)[0] for _ in range(timed_runs)]
+            for r in rs:
+                np.asarray(r)
             times.append((time.perf_counter() - t0) / timed_runs)
         ranks, _, _ = step(params, feats, target_ids)
         m = metrics_from_ranks(ranks)
