@@ -85,6 +85,12 @@ def run_training(
     epochs = num_epochs if num_epochs is not None else t.num_epochs
     final_metrics: Dict[str, float] = {}
     last_log = time.time()
+    eval_k = min(2500, len(ds.all_item_ids))
+    # One compiled eval step reused across epochs (the per-epoch corpus
+    # re-embedding only changes table VALUES, not shapes).
+    eval_step_fn = ev.make_eval_step_fn(
+        model, t.top_k_method, eval_k, len(ds.all_item_ids),
+    )
 
     from rails_tpu.data.datasets import prefetch_batches
 
@@ -133,7 +139,7 @@ def run_training(
             eval_batches = limited
         metrics_arrays, _ = ev.eval_metrics_from_batches(
             model, state.params, eval_state, eval_batches,
-            k=min(2500, len(ds.all_item_ids)),
+            k=eval_k, step_fn=eval_step_fn,
         )
         summary = ev.summarize_metrics(metrics_arrays)
         final_metrics = summary

@@ -124,23 +124,27 @@ def add_rating_filtered_metrics(
     out[f"mrr_>={min_positive_rating}"] = 1.0 / r
 
 
-def make_eval_step(
+def make_eval_step_fn(
     model,
-    eval_state: EvalState,
+    top_k_method: str,
     k: int,
+    num_objects: int,
     filter_invalid_ids: bool = True,
     truncate_k_prime_to: Optional[int] = None,
     max_num_invalid: Optional[int] = None,
 ):
-    """Build the jitted (encode -> top-k -> filter -> rank) step.
+    """Build the jitted (encode -> top-k -> filter -> rank) step with the
+    corpus state as a RUNTIME argument:
+    fn(params, topk_state, item_embeddings, features, target_ids).
 
-    Returns fn(params, features, target_ids) -> (ranks, top_k_ids, top_k_scores).
-    The corpus state is threaded through as a runtime argument so it never
-    gets baked into the compiled program as a constant.
+    Passing the tables per call (instead of closing over them) keeps them out
+    of the compiled program AND lets one compiled step serve fresh tables —
+    e.g. the per-epoch eval in the train driver re-embeds the corpus without
+    recompiling.
     """
     from rails_tpu.index.factory import get_top_k_raw
 
-    raw = get_top_k_raw(eval_state.top_k_method)
+    raw = get_top_k_raw(top_k_method)
 
     @jax.jit
     def _step(params, topk_state, item_embeddings,
@@ -149,9 +153,7 @@ def make_eval_step(
         n0 = features.ids.shape[1] if filter_invalid_ids else 0
         if max_num_invalid is not None:
             n0 = min(n0, max_num_invalid)
-        k_prime = k_prime_for(
-            k, eval_state.num_objects, n0, truncate_k_prime_to
-        )
+        k_prime = k_prime_for(k, num_objects, n0, truncate_k_prime_to)
         res = raw(
             model, params, topk_state, queries, k_prime,
             user_ids=features.user_ids, item_embeddings=item_embeddings,
@@ -166,6 +168,25 @@ def make_eval_step(
         )
         ranks = ranks_from_top_k(res.ids, target_ids)
         return ranks, res.ids, res.scores
+
+    return _step
+
+
+def make_eval_step(
+    model,
+    eval_state: EvalState,
+    k: int,
+    filter_invalid_ids: bool = True,
+    truncate_k_prime_to: Optional[int] = None,
+    max_num_invalid: Optional[int] = None,
+):
+    """Bound convenience wrapper: fn(params, features, target_ids)."""
+    _step = make_eval_step_fn(
+        model, eval_state.top_k_method, k, eval_state.num_objects,
+        filter_invalid_ids=filter_invalid_ids,
+        truncate_k_prime_to=truncate_k_prime_to,
+        max_num_invalid=max_num_invalid,
+    )
 
     def step(params, features, target_ids):
         return _step(
@@ -196,22 +217,33 @@ def eval_metrics_from_batches(
     timed_runs: int = 20,
     timing_fraction: float = 0.1,
     seed: int = 0,
+    step_fn=None,
 ) -> Tuple[Dict[str, np.ndarray], Optional[LatencyStats]]:
     """Evaluate all batches; optionally time the top-k path.
 
     Latency protocol mirrors `data/eval.py:128-170`: with timing enabled,
     k is capped at 120 and k' truncated to 200, and ~10% of batches get
     3 warmup + `timed_runs` timed repetitions of the retrieval call.
+
+    `step_fn` (from `make_eval_step_fn`) lets callers reuse one compiled
+    step across corpus re-embeddings (e.g. the per-epoch train eval).
     """
     if include_eval_time:
         k = min(k, 120)
         truncate_k_prime_to = 200 if truncate_k_prime_to is None else truncate_k_prime_to
     k = min(k, eval_state.num_objects)
-    step = make_eval_step(
-        model, eval_state, k,
-        filter_invalid_ids=filter_invalid_ids,
-        truncate_k_prime_to=truncate_k_prime_to,
-    )
+    if step_fn is not None:
+        def step(params_, features, target_ids):
+            return step_fn(
+                params_, eval_state.topk_state, eval_state.item_embeddings,
+                features, target_ids,
+            )
+    else:
+        step = make_eval_step(
+            model, eval_state, k,
+            filter_invalid_ids=filter_invalid_ids,
+            truncate_k_prime_to=truncate_k_prime_to,
+        )
     rng = np.random.default_rng(seed)
     all_metrics: Dict[str, List[np.ndarray]] = {}
     times: List[float] = []
