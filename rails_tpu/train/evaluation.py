@@ -28,6 +28,7 @@ from rails_tpu.index.candidate_index import (
 from rails_tpu.index.factory import get_top_k_fn
 from rails_tpu.index.top_k import MoLTopKState, TopKResult, build_mol_topk_state
 from rails_tpu.losses.samplers import maybe_l2_norm
+from rails_tpu.similarity.mol import MoLItemTables
 
 NDCG_KS = (1, 5, 10, 50, 100, 200)
 HR_KS = (1, 5, 10, 50, 100, 200, 500, 1000)
@@ -63,10 +64,22 @@ def get_eval_state(
             item_l2_norm, l2_norm_eps,
         )
     )(params, ids)
-    state = build_mol_topk_state(
-        model, params, ids, item_emb, table_dtype=table_dtype,
-        build_fused="Fused" in top_k_method,
-    )
+    if top_k_method == "MIPSBruteForceTopK":
+        # Dot-product serving needs no MoL item tables (and DotProduct
+        # models have none to build).
+        state = MoLTopKState(
+            item_ids=ids,
+            item_tables=MoLItemTables(
+                component_embeddings=jnp.zeros((0, 1, 1), table_dtype),
+                gating_partial=None,
+            ),
+            avg_component=jnp.zeros((0, 1), table_dtype),
+        )
+    else:
+        state = build_mol_topk_state(
+            model, params, ids, item_emb, table_dtype=table_dtype,
+            build_fused="Fused" in top_k_method,
+        )
     top_k_fn = get_top_k_fn(
         top_k_method, model, params, state, item_embeddings=item_emb
     )

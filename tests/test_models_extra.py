@@ -247,3 +247,51 @@ class TestExtraPreprocessors:
         assert x.shape == (1, 10, 6)
         assert int(new_lengths[0]) == 4
         assert np.asarray(valid)[0].tolist() == [True] * 4 + [False] * 6
+
+
+class TestMIPSEvalPath:
+    def test_dot_product_model_full_eval(self):
+        """Dot-product model + MIPSBruteForceTopK end-to-end eval (the
+        reference's hstu-sampled-softmax baseline path)."""
+        from rails_tpu.train import evaluation as ev
+
+        cfg = get_experiment_config("synthetic-small")
+        cfg = cfg.replace(
+            similarity_type="DotProduct",
+            data=cfg.data.replace(synthetic_num_users=64, synthetic_num_items=100),
+            train=cfg.train.replace(
+                local_batch_size=8, num_negatives=8, loss_weights=(),
+                temperature=0.05, item_l2_norm=True,
+                user_embedding_norm="l2_norm",
+                top_k_method="MIPSBruteForceTopK",
+            ),
+        )
+        ds = get_reco_dataset(cfg.data)
+        batches = list(
+            ds.train_dataset.batches(
+                batch_size=8, max_output_length=cfg.train.gr_output_length + 1,
+                shuffle=False, drop_last=True,
+            )
+        )[:2]
+        model, state, train_step, _ = create_train_state(
+            cfg, ds.max_item_id, ds.all_item_ids, batches[0]
+        )
+        state, _ = train_step(state, batches[0], jax.random.PRNGKey(0))
+        es = ev.get_eval_state(
+            model, state.params, ds.all_item_ids, "MIPSBruteForceTopK",
+            item_l2_norm=True,
+        )
+        metrics, _ = ev.eval_metrics_from_batches(
+            model, state.params, es, batches, k=50
+        )
+        s = ev.summarize_metrics(metrics)
+        assert 0.0 <= s["hr@50"] <= 1.0
+        # MIPS results must equal direct dot-product argmax.
+        feats = batches[0].features
+        q = model.apply(state.params, feats, method=model.encode)
+        res = es.top_k_fn(q, 10)
+        scores = np.asarray(q) @ np.asarray(es.item_embeddings).T
+        expected = np.asarray(es.all_item_ids)[
+            np.argsort(-scores, axis=1)[:, :10]
+        ]
+        np.testing.assert_array_equal(np.asarray(res.ids), expected)
