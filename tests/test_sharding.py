@@ -103,6 +103,34 @@ class TestShardedTopK:
             np.asarray(res.scores), np.asarray(ref.scores), rtol=1e-4, atol=1e-4
         )
 
+    @pytest.mark.parametrize("method", ["MoLNaive", "MoLComb"])
+    def test_sharded_naive_comb_full_budget_exact(self, trained, method):
+        """Naive/Comb per-shard with budgets >= local corpus == exact."""
+        cfg, ds, model, params, batches = trained
+        es = get_eval_state(
+            model, params, ds.all_item_ids, "MoLBruteForceTopK",
+            table_dtype=jnp.float32,
+        )
+        feats = batches[0].features
+        q = model.apply(params, feats, method=model.encode)
+        ref = es.top_k_fn(q, 10, user_ids=feats.user_ids)
+
+        mesh = make_mesh(MeshConfig(item_parallel=4))
+        sh_state = pad_and_shard_state(es.topk_state, mesh)
+        fn = make_sharded_top_k_fn(
+            method, model, replicate(params, mesh), sh_state, mesh,
+            k=10, k_per_group=1000, avg_top_k=1000,
+        )
+        res = fn(q, user_ids=feats.user_ids)
+        np.testing.assert_allclose(
+            np.asarray(res.scores), np.asarray(ref.scores), rtol=1e-5, atol=1e-5
+        )
+        # Ids may swap at exact ties only.
+        mism = np.asarray(res.ids) != np.asarray(ref.ids)
+        s_e = np.asarray(ref.scores)
+        for b, j in zip(*np.nonzero(mism)):
+            assert (np.abs(s_e[b] - s_e[b, j]) < 1e-4).sum() > 1
+
     def test_sharded_avg_recall(self, trained):
         """Per-shard Avg prefilter with the full local budget reduces to the
         exact result when budget >= local corpus size."""
