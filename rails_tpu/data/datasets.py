@@ -206,6 +206,10 @@ class RecoDataset:
     all_item_ids: np.ndarray     # (num_unique_items,) int32, ids > 0
     train_dataset: SequenceDataset
     eval_dataset: SequenceDataset
+    # Hashed categorical side features (built for the MovieLens datasets when
+    # the processed movies.csv is present; not consumed by the models —
+    # matching the reference, `reco_dataset.py:94-146`).
+    item_features: object = None
 
 
 def _subsample_events(
@@ -371,6 +375,16 @@ def get_reco_dataset(
     else:
         raise ValueError(f"Unknown dataset {cfg.dataset_name!r}")
 
+    item_features = None
+    if cfg.dataset_name in ("ml-1m", "ml-20m"):
+        movies_csv = os.path.join(
+            data_root, f"tmp/processed/{cfg.dataset_name}/movies.csv"
+        )
+        if os.path.exists(movies_csv) and not _is_lfs_stub(movies_csv):
+            from rails_tpu.data.item_features import load_movielens_item_features
+
+            item_features = load_movielens_item_features(movies_csv, max_item_id)
+
     all_item_ids = np.unique(seqs.item_ids)
     all_item_ids = all_item_ids[all_item_ids > 0].astype(np.int32)
     assert int(all_item_ids.min()) > 0
@@ -385,4 +399,5 @@ def get_reco_dataset(
             sample_ratio=cfg.positional_sampling_ratio,
         ),
         eval_dataset=SequenceDataset(seqs, cfg.max_sequence_length, ignore_last_n=0),
+        item_features=item_features,
     )
