@@ -46,6 +46,13 @@ def get_top_k_raw(top_k_method: str):
             )
         return raw
 
+    if top_k_method == "MoLBruteForceTopKFusedApprox":
+        def raw(model, params, state, q, k, user_ids=None, item_embeddings=None):
+            return tk.mol_brute_force_top_k_fused_approx(
+                model, params, state, q, k, user_ids=user_ids
+            )
+        return raw
+
     if top_k_method == "MIPSBruteForceTopK":
         def raw(model, params, state, q, k, user_ids=None, item_embeddings=None):
             assert item_embeddings is not None

@@ -126,7 +126,7 @@ def make_sharded_top_k_fn(
     def local_algorithm(params_, state_l: MoLTopKState, q, user_ids):
         x_local = state_l.item_ids.shape[0]          # static inside shard_map
         k_local = min(k, x_local)
-        if top_k_method == "MoLBruteForceTopKFused":
+        if top_k_method in ("MoLBruteForceTopKFused", "MoLBruteForceTopKFusedApprox"):
             # Fused Pallas scoring per shard: the (B, X, L) logits and the
             # gating hidden layer never materialize in HBM — required at
             # multi-million-item shard sizes where the XLA path's
@@ -150,7 +150,15 @@ def make_sharded_top_k_fn(
                 block_x=min(fused_block_x, ft.item_comp_t.shape[2]),
             )                                        # (B, X_local)
             scores = jnp.where(state_l.item_ids[None, :] == 0, NEG_PAD, scores)
-            s_top, idx = jax.lax.top_k(scores, k_local)
+            if (
+                top_k_method.endswith("Approx")
+                and jax.default_backend() != "cpu"
+            ):
+                s_top, idx = jax.lax.approx_max_k(
+                    scores, k_local, recall_target=0.99
+                )
+            else:
+                s_top, idx = jax.lax.top_k(scores, k_local)
             res = TopKResult(scores=s_top, ids=state_l.item_ids[idx])
         elif top_k_method == "MoLBruteForceTopK":
             res = mol_brute_force_top_k(

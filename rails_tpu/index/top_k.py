@@ -217,17 +217,12 @@ def mol_brute_force_top_k(
     return TopKResult(scores=top_scores, ids=state.item_ids[top_idx])
 
 
-def mol_brute_force_top_k_fused(
+def _fused_scores(
     model, params, state: MoLTopKState,
-    query_embeddings: jnp.ndarray,            # (B, D)
-    k: int,
-    user_ids: Optional[jnp.ndarray] = None,
-    block_x: int = 256,
-) -> TopKResult:
-    """Exact MoL over the whole corpus through the fused Pallas kernel
-    (`rails_tpu/ops/pallas/mol_scoring.py`). Semantics identical to
-    `mol_brute_force_top_k`; the (B, X, L) logits and gating activations
-    never touch HBM."""
+    query_embeddings: jnp.ndarray,
+    user_ids: Optional[jnp.ndarray],
+    block_x: int,
+) -> jnp.ndarray:
     from rails_tpu.ops.pallas.mol_scoring import (
         extract_gating_qi_weights,
         fused_mol_scores_t,
@@ -244,12 +239,51 @@ def mol_brute_force_top_k_fused(
         params, query_embeddings, method=model.query_gating_partial
     )
     weights = extract_gating_qi_weights(params)
-    scores = fused_mol_scores_t(
+    return fused_mol_scores_t(
         q_comp.astype(ft.item_comp_t.dtype), qp,
         ft.item_comp_t, ft.item_partial_t, weights,
         float(model.cfg.mol.temperature), block_x=block_x,
     )[:, : ft.num_items]
+
+
+def mol_brute_force_top_k_fused(
+    model, params, state: MoLTopKState,
+    query_embeddings: jnp.ndarray,            # (B, D)
+    k: int,
+    user_ids: Optional[jnp.ndarray] = None,
+    block_x: int = 256,
+) -> TopKResult:
+    """Exact MoL over the whole corpus through the fused Pallas kernel
+    (`rails_tpu/ops/pallas/mol_scoring.py`). Semantics identical to
+    `mol_brute_force_top_k`; the (B, X, L) logits and gating activations
+    never touch HBM."""
+    scores = _fused_scores(model, params, state, query_embeddings, user_ids, block_x)
     top_scores, top_idx = jax.lax.top_k(scores, k)
+    return TopKResult(scores=top_scores, ids=state.item_ids[top_idx])
+
+
+def mol_brute_force_top_k_fused_approx(
+    model, params, state: MoLTopKState,
+    query_embeddings: jnp.ndarray,            # (B, D)
+    k: int,
+    user_ids: Optional[jnp.ndarray] = None,
+    block_x: int = 256,
+    recall_target: float = 0.99,
+) -> TopKResult:
+    """Fused MoL scoring + TPU-optimized `lax.approx_max_k` selection.
+
+    At multi-million-item corpora the exact `lax.top_k` becomes a large
+    fraction of the query cost; approx_max_k (arXiv 2206.14286) trades a
+    bounded per-element recall (>= recall_target) for a much cheaper
+    partial reduction. Falls back to exact top_k on backends without the
+    approx primitive (CPU tests)."""
+    scores = _fused_scores(model, params, state, query_embeddings, user_ids, block_x)
+    if jax.default_backend() == "cpu":
+        top_scores, top_idx = jax.lax.top_k(scores, k)
+    else:
+        top_scores, top_idx = jax.lax.approx_max_k(
+            scores, k, recall_target=recall_target
+        )
     return TopKResult(scores=top_scores, ids=state.item_ids[top_idx])
 
 
