@@ -4,6 +4,12 @@ Reference: `train_fn` (`/root/reference/train.py:109-571`). One process drives
 all local devices through a single jit (no mp.spawn / DDP); per-epoch eval
 truncates to `partial_eval_num_iters` batches except every
 `full_eval_every_n`-th epoch (`train.py:465-535`).
+
+Divergence: the reference also runs a mid-epoch eval every `eval_interval`
+steps on the current train batch (`train.py:353-390`), which rebuilds the
+full corpus index each time; here `eval_interval` paces train-metric logging
+and quality is measured by the per-epoch eval (one compiled eval step reused
+across epochs).
 """
 
 from __future__ import annotations
