@@ -91,11 +91,12 @@ def _kernel(
     )
     gw = gi * jax.nn.sigmoid(gi)
 
-    # Softmax over the logit axis and the weighted combine.
+    # Softmax over the logit axis and the weighted combine. Reuse the
+    # already-loaded logits value rather than re-reading the scratch ref.
     gw_max = jnp.max(gw, axis=0, keepdims=True)
     e = jnp.exp(gw - gw_max)
     pi = e / jnp.sum(e, axis=0, keepdims=True)
-    out_ref[:] = jnp.sum(pi * logits_ref[:], axis=0)
+    out_ref[:] = jnp.sum(pi * logits.reshape(l, b, tx), axis=0)
 
 
 class MoLKernelWeights(NamedTuple):
