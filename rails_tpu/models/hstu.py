@@ -158,10 +158,12 @@ class HSTUBlock(nn.Module):
             (c.embedding_dim, h * dv * 2 + h * dqk * 2),
         )
         # Output projection as explicit params (shared with the fused Pallas
-        # block kernel).
+        # block kernel). With concat_ua the projection consumes
+        # [u, a, u*a] (`hstu.py:261-264,408-410`).
+        o_in = h * dv * (3 if c.concat_ua else 1)
         self.o_kernel = self.param(
             "o_kernel", nn.initializers.xavier_uniform(),
-            (h * dv, c.embedding_dim),
+            (o_in, c.embedding_dim),
         )
         self.o_bias = self.param(
             "o_bias", nn.initializers.zeros_init(), (c.embedding_dim,)
@@ -234,7 +236,11 @@ class HSTUBlock(nn.Module):
             "bhnm,bmhd->bnhd", attn, vh, preferred_element_type=self.dtype
         ).reshape(b, n, h * dv)
 
-        o_input = u * self._ln(attn_out)
+        if c.concat_ua:
+            a = self._ln(attn_out)
+            o_input = jnp.concatenate([u, a, u * a], axis=-1)
+        else:
+            o_input = u * self._ln(attn_out)
         o_input = self.dropout(o_input, deterministic=not train)
         return self._o(o_input) + x
 
@@ -285,7 +291,11 @@ class HSTUBlock(nn.Module):
             "bhm,bmhd->bhd", attn, vh, preferred_element_type=self.dtype
         ).reshape(b, h * dv)
 
-        o_input = u * self._ln(attn_out)
+        if c.concat_ua:
+            a = self._ln(attn_out)
+            o_input = jnp.concatenate([u, a, u * a], axis=-1)
+        else:
+            o_input = u * self._ln(attn_out)
         y_t = self._o(o_input) + x_t
         return y_t, k_cache, v_cache
 
@@ -340,6 +350,9 @@ class HSTUStack(nn.Module):
             )
             assert self.cfg.normalization in ("rel_bias", "hstu_rel_bias"), (
                 "fused_inference supports the pointwise-SiLU attention only"
+            )
+            assert not self.cfg.concat_ua, (
+                "fused_inference does not support concat_ua"
             )
             colmask = valid.astype(jnp.float32)
             for layer_idx, block in enumerate(self.blocks):
