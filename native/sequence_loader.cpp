@@ -101,6 +101,9 @@ ParsedSequences* parse_sasrec_csv(const char* path) {
     return out;
   }
   std::string header(p, line_end - p);
+  // Tolerate CRLF line endings: strip a trailing '\r' so the last column
+  // name still matches.
+  if (!header.empty() && header.back() == '\r') header.pop_back();
   int user_col = -1, ids_col = -1, ratings_col = -1, ts_col = -1;
   {
     int col = 0;

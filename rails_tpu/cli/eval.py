@@ -31,6 +31,10 @@ def main(argv=None) -> None:
     p.add_argument("--eval-against-brute-force", action="store_true")
     p.add_argument("--limit-users", type=int, default=None)
     p.add_argument("--data-root", default=".")
+    p.add_argument(
+        "--item-parallel", type=int, default=1,
+        help="shard the corpus over N mesh devices (distributed top-k merge)",
+    )
     args = p.parse_args(argv)
 
     from rails_tpu.cli.train import apply_override
@@ -49,15 +53,22 @@ def main(argv=None) -> None:
 
     ds = get_reco_dataset(cfg.data, args.data_root)
     max_output_length = t.gr_output_length + 1
+    # Every user is evaluated exactly once: the tail batch wraps around for
+    # fixed shapes and `num_examples` trims the duplicate rows
+    # (reference evaluates every user, `data/eval.py:131-138`).
+    n_eval = len(ds.eval_dataset)
+    if args.limit_users:
+        n_eval = min(n_eval, args.limit_users)
+    n_batches = -(-n_eval // t.eval_batch_size)
     eval_batches = list(
         itertools.islice(
             ds.eval_dataset.batches(
                 batch_size=t.eval_batch_size,
                 max_output_length=max_output_length,
                 shuffle=False,
-                drop_last=True,
+                drop_last=False,
             ),
-            (args.limit_users // t.eval_batch_size) if args.limit_users else None,
+            n_batches,
         )
     )
     sample = eval_batches[0]
@@ -73,11 +84,31 @@ def main(argv=None) -> None:
         model, params, ds.all_item_ids, top_k_method,
         item_l2_norm=t.item_l2_norm, l2_norm_eps=t.l2_norm_eps,
     )
+    k = min(args.k if not args.include_eval_time else 120, len(ds.all_item_ids))
+
+    mesh = None
+    step = None
+    if args.item_parallel > 1:
+        import jax
+        from rails_tpu.core.config import MeshConfig
+        from rails_tpu.core.mesh import make_mesh
+
+        assert jax.device_count() >= args.item_parallel, (
+            f"--item-parallel {args.item_parallel} needs that many devices "
+            f"(have {jax.device_count()})"
+        )
+        mesh = make_mesh(MeshConfig(item_parallel=args.item_parallel))
+        step = ev.make_sharded_eval_step(
+            model, params, eval_state, mesh, k,
+            seq_len=sample.features.ids.shape[1],
+        )
+        logging.info("item-sharded retrieval over mesh %s", dict(mesh.shape))
     metrics, lat = ev.eval_metrics_from_batches(
         model, params, eval_state, eval_batches,
-        k=min(args.k if not args.include_eval_time else 120,
-              len(ds.all_item_ids)),
+        k=k,
         include_eval_time=args.include_eval_time,
+        num_examples=n_eval,
+        step=step,
     )
     summary = ev.summarize_metrics(metrics)
 
@@ -87,9 +118,16 @@ def main(argv=None) -> None:
             model, params, ds.all_item_ids, "MoLBruteForceTopK",
             item_l2_norm=t.item_l2_norm, l2_norm_eps=t.l2_norm_eps,
         )
+        recall_k = min(200, len(ds.all_item_ids))
+        approx_step = None
+        if mesh is not None:
+            approx_step = ev.make_sharded_eval_step(
+                model, params, eval_state, mesh, recall_k,
+                seq_len=sample.features.ids.shape[1],
+            )
         recall = ev.recall_vs_exact(
             model, params, exact_state, eval_state, eval_batches,
-            k=min(200, len(ds.all_item_ids)),
+            k=recall_k, approx_step=approx_step, num_examples=n_eval,
         )
         summary.update(recall)
 

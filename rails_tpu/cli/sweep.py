@@ -52,14 +52,24 @@ def run_sweep(
     eval_batches,
     k: int = 120,
     include_eval_time: bool = True,
+    num_examples: int = None,
+    item_parallel: int = 1,
 ) -> List[Dict[str, float]]:
     from rails_tpu.train import evaluation as ev
 
     t = cfg.train
+    mesh = None
+    if item_parallel > 1:
+        from rails_tpu.core.config import MeshConfig
+        from rails_tpu.core.mesh import make_mesh
+
+        mesh = make_mesh(MeshConfig(item_parallel=item_parallel))
+        logging.info("item-sharded sweep over mesh %s", dict(mesh.shape))
     exact_state = ev.get_eval_state(
         model, params, ds.all_item_ids, "MoLBruteForceTopK",
         item_l2_norm=t.item_l2_norm, l2_norm_eps=t.l2_norm_eps,
     )
+    seq_len = eval_batches[0].features.ids.shape[1]
     rows = []
     for alg in algorithms:
         state = (
@@ -69,20 +79,34 @@ def run_sweep(
                 item_l2_norm=t.item_l2_norm, l2_norm_eps=t.l2_norm_eps,
             )
         )
+        kk = min(k, len(ds.all_item_ids))
+        step = None
+        if mesh is not None:
+            step = ev.make_sharded_eval_step(
+                model, params, state, mesh,
+                min(kk, 120) if include_eval_time else kk, seq_len=seq_len,
+            )
         metrics, lat = ev.eval_metrics_from_batches(
             model, params, state, eval_batches,
-            k=min(k, len(ds.all_item_ids)),
+            k=kk,
             include_eval_time=include_eval_time,
             timing_fraction=1.0 if include_eval_time else 0.0,
+            num_examples=num_examples,
+            step=step,
         )
         summary = ev.summarize_metrics(metrics)
         row = {"algorithm": alg, "hr@10": summary["hr@10"],
                "hr@50": summary["hr@50"], "ndcg@10": summary["ndcg@10"],
                "mrr": summary["mrr"]}
         if alg != "MoLBruteForceTopK":
+            approx_step = None
+            if mesh is not None:
+                approx_step = ev.make_sharded_eval_step(
+                    model, params, state, mesh, kk, seq_len=seq_len,
+                )
             rec = ev.recall_vs_exact(
                 model, params, exact_state, state, eval_batches,
-                k=min(k, len(ds.all_item_ids)),
+                k=kk, approx_step=approx_step, num_examples=num_examples,
             )
             row.update(rec)
         if lat is not None:
@@ -103,6 +127,10 @@ def main(argv=None) -> None:
     p.add_argument("--no-eval-time", action="store_true")
     p.add_argument("--data-root", default=".")
     p.add_argument("--output-csv", default=None)
+    p.add_argument(
+        "--item-parallel", type=int, default=1,
+        help="shard the corpus over N mesh devices (distributed top-k merge)",
+    )
     args = p.parse_args(argv)
 
     from rails_tpu.cli.train import apply_override
@@ -117,14 +145,15 @@ def main(argv=None) -> None:
         cfg = apply_override(cfg, key, val)
     ds = get_reco_dataset(cfg.data, args.data_root)
     t = cfg.train
+    n_eval = min(len(ds.eval_dataset), args.limit_users)
     eval_batches = list(
         itertools.islice(
             ds.eval_dataset.batches(
                 batch_size=t.eval_batch_size,
                 max_output_length=t.gr_output_length + 1,
-                shuffle=False, drop_last=True,
+                shuffle=False, drop_last=False,
             ),
-            args.limit_users // t.eval_batch_size,
+            -(-n_eval // t.eval_batch_size),
         )
     )
     model, state, _, _ = create_train_state(
@@ -144,6 +173,8 @@ def main(argv=None) -> None:
     rows = run_sweep(
         cfg, ds, model, state.params, algorithms, eval_batches,
         include_eval_time=not args.no_eval_time,
+        num_examples=n_eval,
+        item_parallel=args.item_parallel,
     )
     cols = sorted({k for r in rows for k in r})
     lines = [",".join(cols)]

@@ -150,9 +150,13 @@ class SequenceDataset:
             yield self._make_batch(idx, max_output_length)
         if rem and not drop_last:
             # Fixed-shape tail: wrap around to fill the batch (extra rows are
-            # duplicates; callers that care filter by example count).
-            idx = np.concatenate([order[n_batches * batch_size :],
-                                  order[: batch_size - rem]])
+            # duplicates; callers that care filter by example count). np.resize
+            # cycles, so the batch fills even when the epoch shard holds fewer
+            # than batch_size examples.
+            idx = np.resize(
+                np.concatenate([order[n_batches * batch_size :], order]),
+                batch_size,
+            )
             yield self._make_batch(idx, max_output_length)
 
     def _make_batch(self, idx: np.ndarray, max_output_length: int) -> Batch:

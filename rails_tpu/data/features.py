@@ -70,8 +70,18 @@ def batch_from_rows(
     pad = np.zeros((b, max_output_length), dtype=historical_ids.dtype)
     ids = np.concatenate([historical_ids, pad], axis=1)
     ratings = np.concatenate([historical_ratings, pad], axis=1)
-    ts = np.concatenate([historical_timestamps, pad], axis=1)
+    ts = np.concatenate(
+        [historical_timestamps.astype(np.int64), pad.astype(np.int64)], axis=1
+    )
     ts[np.arange(b), historical_lengths] = target_timestamps
+    # Rebase to the batch minimum before narrowing to int32: only bucketized
+    # within-sequence deltas reach the model (HSTU time bias), and raw Unix
+    # seconds overflow int32 after 2038-01-19 (the reference keeps them
+    # int64; JAX default config has no int64). Padding slots stay 0.
+    valid = ts > 0
+    if valid.any():
+        base = ts[valid].min() - 1
+        ts = np.where(valid, ts - base, 0)
     feats = SequentialFeatures(
         lengths=jnp.asarray(historical_lengths, dtype=jnp.int32),
         ids=jnp.asarray(ids, dtype=jnp.int32),

@@ -84,9 +84,15 @@ def parse_sasrec_csv_native(path: str):
     try:
         r = res.contents
         if r.error:
-            raise ValueError(
-                f"native csv parse failed: {r.error.decode()} ({path})"
+            # Return None (not raise) so the caller's pure-Python parser
+            # engages as the documented graceful fallback.
+            import logging
+
+            logging.getLogger("rails_tpu").warning(
+                "native csv parse failed, falling back to python parser: "
+                "%s (%s)", r.error.decode(), path,
             )
+            return None
         nu, te = r.num_users, r.total_events
         out = RaggedSequences(
             user_ids=np.ctypeslib.as_array(r.user_ids, (nu,)).copy(),

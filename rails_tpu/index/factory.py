@@ -94,6 +94,21 @@ def get_top_k_raw(top_k_method: str):
     raise ValueError(f"Unknown top_k_method {top_k_method!r}")
 
 
+def parse_top_k_budgets(top_k_method: str) -> dict:
+    """Candidate budgets encoded in a method name (e.g. MoLCombTopK50_500
+    -> k_per_group=50, avg_top_k=500). Empty for brute-force methods."""
+    m = re.fullmatch(r"MoLNaive(?:Faiss)?TopK(\d+)", top_k_method)
+    if m:
+        return {"k_per_group": int(m.group(1))}
+    m = re.fullmatch(r"MoLAvgTopK(\d+)", top_k_method)
+    if m:
+        return {"avg_top_k": int(m.group(1))}
+    m = re.fullmatch(r"MoLCombTopK(\d+)_(\d+)", top_k_method)
+    if m:
+        return {"k_per_group": int(m.group(1)), "avg_top_k": int(m.group(2))}
+    return {}
+
+
 def get_top_k_fn(
     top_k_method: str,
     model,

@@ -22,6 +22,7 @@ from jax import shard_map
 
 from rails_tpu.core.mesh import ITEM_AXIS, item_sharding
 from rails_tpu.index.top_k import (
+    NEG_PAD,
     MoLTopKState,
     TopKResult,
     mol_avg_top_k,
@@ -30,8 +31,6 @@ from rails_tpu.index.top_k import (
     mol_naive_top_k,
 )
 from rails_tpu.similarity.mol import MoLItemTables
-
-NEG_PAD = -1.0e30
 
 
 def pad_and_shard_state(

@@ -36,6 +36,16 @@ import jax.numpy as jnp
 from rails_tpu.similarity.mol import MoLItemTables
 
 NEG_DUP = -32767.0
+# Item id 0 is the reserved padding id throughout the framework (real corpus
+# ids are >= 1). Rows carrying id 0 — e.g. the pad rows `pad_and_shard_state`
+# appends to make the corpus shard-divisible — are masked to this before ANY
+# selection, so they can never displace real (even negative-scoring) items.
+NEG_PAD = -1.0e30
+
+
+def _mask_pad_rows(scores: jnp.ndarray, item_ids: jnp.ndarray) -> jnp.ndarray:
+    """Mask scores of padding rows (item id 0) along the trailing corpus axis."""
+    return jnp.where(item_ids == 0, NEG_PAD, scores)
 
 
 class TopKResult(NamedTuple):
@@ -96,8 +106,10 @@ def build_mol_topk_state(
         )
     if fused_only:
         # Brute-force-fused-only serving: skip the standard-layout component
-        # table (it would double corpus memory). The avg prefilter table is
-        # kept (d_P per item, cheap) so Avg-style prefilters remain possible.
+        # table (it would double corpus memory). Only the fused brute-force
+        # algorithms work against such a state — Naive/Avg/Comb need the
+        # component table for rerank and assert loudly on the empty one.
+        # The avg table is kept (d_P per item, cheap) for future prefilters.
         assert fused is not None, "fused_only requires build_fused=True"
         empty = MoLItemTables(
             component_embeddings=jnp.zeros(
@@ -209,10 +221,14 @@ def mol_brute_force_top_k(
     user_ids: Optional[jnp.ndarray] = None,
 ) -> TopKResult:
     """Exact MoL over the whole corpus (`MoLBruteForceTopK`, `mol_top_k.py:84-130`)."""
+    assert state.item_tables.component_embeddings.shape[0] > 0, (
+        "state was built fused_only; use the MoLBruteForceTopKFused path"
+    )
     scores = model.apply(
         params, query_embeddings, state.item_tables, user_ids=user_ids,
         method=model.score_precomputed,
     )                                          # (B, X)
+    scores = _mask_pad_rows(scores, state.item_ids)
     top_scores, top_idx = jax.lax.top_k(scores, k)
     return TopKResult(scores=top_scores, ids=state.item_ids[top_idx])
 
@@ -298,6 +314,7 @@ def mips_brute_force_top_k(
         "bd,xd->bx", query_embeddings, item_embeddings,
         preferred_element_type=jnp.float32,
     )
+    scores = _mask_pad_rows(scores, item_ids)
     top_scores, top_idx = jax.lax.top_k(scores, k)
     return TopKResult(scores=top_scores, ids=item_ids[top_idx])
 
@@ -331,6 +348,7 @@ def _dedup_rerank_top_k(
         item_indices=sorted_idx, method=model.score_precomputed,
     )                                          # (B, C)
     scores = jnp.where(is_first, scores, NEG_DUP)
+    scores = _mask_pad_rows(scores, state.item_ids[sorted_idx])
     kk = min(k, sorted_idx.shape[1])
     top_scores, pos = jax.lax.top_k(scores, kk)
     top_idx = jnp.take_along_axis(sorted_idx, pos, axis=1)
@@ -349,6 +367,9 @@ def _naive_candidates(
     Returns (B, P_Q * P_X * k_per_group) corpus positions. The per-group
     budget is clamped to the corpus size.
     """
+    assert state.item_tables.component_embeddings.shape[0] > 0, (
+        "state was built fused_only; Naive/Comb need the component table"
+    )
     q_comp = model.apply(
         params, query_embeddings, user_ids, method=model.query_components
     )                                          # (B, P_Q, d_P)
@@ -358,6 +379,7 @@ def _naive_candidates(
         "bnd,xmd->bnmx", q_comp.astype(i_comp.dtype), i_comp,
         preferred_element_type=jnp.float32,
     )                                          # (B, P_Q, P_X, X)
+    sims = _mask_pad_rows(sims, state.item_ids)   # pad rows don't eat budget
     _, idx = jax.lax.top_k(sims, k_per_group)  # (B, P_Q, P_X, k)
     b = query_embeddings.shape[0]
     return idx.reshape(b, -1)
@@ -391,6 +413,9 @@ def mol_avg_top_k(
     `record_function` scopes (`mol_top_k.py:350-371`) for trace tooling.
     The prefilter budget is clamped to the corpus size.
     """
+    assert state.item_tables.component_embeddings.shape[0] > 0, (
+        "state was built fused_only; Avg needs the component table for rerank"
+    )
     avg_top_k = min(avg_top_k, state.item_ids.shape[0])
     q_comp = model.apply(
         params, query_embeddings, user_ids, method=model.query_components
@@ -401,6 +426,7 @@ def mol_avg_top_k(
             "bd,xd->bx", q_avg.astype(state.avg_component.dtype),
             state.avg_component, preferred_element_type=jnp.float32,
         )
+        avg_scores = _mask_pad_rows(avg_scores, state.item_ids)
     with jax.named_scope("avg_topk_selection"):
         _, cand = jax.lax.top_k(avg_scores, avg_top_k)   # (B, avg_top_k)
     with jax.named_scope("filtered_scoring"):
@@ -408,6 +434,7 @@ def mol_avg_top_k(
             params, query_embeddings, state.item_tables, user_ids=user_ids,
             item_indices=cand, method=model.score_precomputed,
         )
+        scores = _mask_pad_rows(scores, state.item_ids[cand])
     with jax.named_scope("final_topk"):
         kk = min(k, avg_top_k)
         top_scores, pos = jax.lax.top_k(scores, kk)
@@ -438,6 +465,7 @@ def mol_comb_top_k(
         "bd,xd->bx", q_avg.astype(state.avg_component.dtype), state.avg_component,
         preferred_element_type=jnp.float32,
     )
+    avg_scores = _mask_pad_rows(avg_scores, state.item_ids)
     _, avg_cand = jax.lax.top_k(avg_scores, avg_top_k)
     cands = jnp.concatenate([naive, avg_cand], axis=1)
     return _dedup_rerank_top_k(

@@ -129,13 +129,17 @@ def run_training(
             model, state.params, ds.all_item_ids, t.top_k_method,
             item_l2_norm=t.item_l2_norm, l2_norm_eps=t.l2_norm_eps,
         )
+        # Full evals cover EVERY user exactly once (wrap-around tail batch,
+        # duplicates trimmed via num_examples — `data/eval.py:131-138`);
+        # partial evals sample a shuffled prefix of full batches.
         eval_batches = ds.eval_dataset.batches(
             batch_size=t.eval_batch_size,
             max_output_length=max_output_length,
             shuffle=True,
             seed=t.random_seed + epoch,
-            drop_last=True,
+            drop_last=not is_full,
         )
+        n_eval = len(ds.eval_dataset) if is_full else None
         if not is_full:
             limited = []
             for i, b in enumerate(eval_batches):
@@ -145,7 +149,7 @@ def run_training(
             eval_batches = limited
         metrics_arrays, _ = ev.eval_metrics_from_batches(
             model, state.params, eval_state, eval_batches,
-            k=eval_k, step_fn=eval_step_fn,
+            k=eval_k, step_fn=eval_step_fn, num_examples=n_eval,
         )
         summary = ev.summarize_metrics(metrics_arrays)
         final_metrics = summary

@@ -210,6 +210,66 @@ def make_eval_step(
     return step
 
 
+def make_sharded_eval_step(
+    model,
+    params,
+    eval_state: EvalState,
+    mesh,
+    k: int,
+    seq_len: int,
+    filter_invalid_ids: bool = True,
+    truncate_k_prime_to: Optional[int] = None,
+    k_per_group: int = 50,
+    avg_top_k: int = 200,
+    fused_block_x: int = 256,
+):
+    """Item-sharded eval step: the corpus shards over the mesh `item` axis and
+    the per-shard top-k + all_gather merge (`rails_tpu/index/sharded.py`)
+    serves the standard encode -> top-k -> filter -> rank path.
+
+    Returns fn(params, features, target_ids) -> (ranks, ids, scores) with the
+    SAME semantics as `make_eval_step` (k' over-fetch for seen-id filtering is
+    applied to the merged list). `seq_len` is the padded history length, used
+    to budget k' statically.
+    """
+    from rails_tpu.core.mesh import replicate
+    from rails_tpu.index.factory import parse_top_k_budgets
+    from rails_tpu.index.sharded import make_sharded_top_k_fn, pad_and_shard_state
+
+    n0 = seq_len if filter_invalid_ids else 0
+    k_prime = k_prime_for(k, eval_state.num_objects, n0, truncate_k_prime_to)
+    sh_state = pad_and_shard_state(
+        eval_state.topk_state, mesh, fused_block_x=fused_block_x
+    )
+    budgets = parse_top_k_budgets(eval_state.top_k_method)
+    topk = make_sharded_top_k_fn(
+        eval_state.top_k_method, model, replicate(params, mesh), sh_state,
+        mesh, k=k_prime,
+        k_per_group=budgets.get("k_per_group", k_per_group),
+        avg_top_k=budgets.get("avg_top_k", avg_top_k),
+        fused_block_x=fused_block_x,
+    )
+    encode = jax.jit(lambda p, f: model.apply(p, f, method=model.encode))
+
+    @jax.jit
+    def _finish(scores, ids, hist_ids, target_ids):
+        res = select_top_k_with_invalid_filter(
+            TopKResult(scores=scores, ids=ids), hist_ids, min(k, ids.shape[1])
+        )
+        ranks = ranks_from_top_k(res.ids, target_ids)
+        return ranks, res.ids, res.scores
+
+    def step(params_, features, target_ids):
+        q = encode(params_, features)
+        res = topk(q, user_ids=features.user_ids)
+        return _finish(
+            res.scores, res.ids,
+            features.ids if filter_invalid_ids else None, target_ids,
+        )
+
+    return step
+
+
 @dataclass
 class LatencyStats:
     mean_ms: float
@@ -231,6 +291,8 @@ def eval_metrics_from_batches(
     timing_fraction: float = 0.1,
     seed: int = 0,
     step_fn=None,
+    num_examples: Optional[int] = None,
+    step=None,
 ) -> Tuple[Dict[str, np.ndarray], Optional[LatencyStats]]:
     """Evaluate all batches; optionally time the top-k path.
 
@@ -240,12 +302,23 @@ def eval_metrics_from_batches(
 
     `step_fn` (from `make_eval_step_fn`) lets callers reuse one compiled
     step across corpus re-embeddings (e.g. the per-epoch train eval).
+
+    `num_examples`: the true example count when the final batch wraps around
+    to keep shapes fixed (`Dataset.batches(drop_last=False)`); the duplicate
+    tail rows are trimmed so every user counts exactly once — matching the
+    reference, which evaluates every user (`data/eval.py:131-138`).
+
+    `step`: a fully-bound fn(params, features, target_ids) overriding the
+    default step construction — e.g. `make_sharded_eval_step` for
+    item-sharded retrieval.
     """
     if include_eval_time:
         k = min(k, 120)
         truncate_k_prime_to = 200 if truncate_k_prime_to is None else truncate_k_prime_to
     k = min(k, eval_state.num_objects)
-    if step_fn is not None:
+    if step is not None:
+        pass
+    elif step_fn is not None:
         def step(params_, features, target_ids):
             return step_fn(
                 params_, eval_state.topk_state, eval_state.item_embeddings,
@@ -260,6 +333,7 @@ def eval_metrics_from_batches(
     rng = np.random.default_rng(seed)
     all_metrics: Dict[str, List[np.ndarray]] = {}
     times: List[float] = []
+    seen = 0
     for batch in batches:
         feats, target_ids = batch.features, batch.target_ids
         if include_eval_time and rng.random() < timing_fraction:
@@ -275,10 +349,16 @@ def eval_metrics_from_batches(
                 np.asarray(r)
             times.append((time.perf_counter() - t0) / timed_runs)
         ranks, _, _ = step(params, feats, target_ids)
+        b = int(ranks.shape[0])
+        valid = b if num_examples is None else max(0, min(b, num_examples - seen))
+        seen += b
+        if valid == 0:
+            continue
+        ranks_np = np.asarray(ranks)[:valid]
         m = metrics_from_ranks(ranks)
-        m = {kk: np.asarray(v) for kk, v in m.items()}
+        m = {kk: np.asarray(v)[:valid] for kk, v in m.items()}
         add_rating_filtered_metrics(
-            m, np.asarray(ranks), np.asarray(batch.target_ratings)
+            m, ranks_np, np.asarray(batch.target_ratings)[:valid]
         )
         for kk, v in m.items():
             all_metrics.setdefault(kk, []).append(v)
@@ -308,25 +388,39 @@ def recall_vs_exact(
     batches,
     k: int = 200,
     filter_invalid_ids: bool = True,
+    exact_step=None,
+    approx_step=None,
+    num_examples: Optional[int] = None,
 ) -> Dict[str, float]:
     """Recall of the approximate algorithm against exact-MoL top-1.
 
     Reference protocol: brute force runs first and its top-1 id becomes the
     target; the approximate algorithm's HR@k against that target is its
-    recall (`eval_from_checkpoint.py:427-449`).
+    recall (`eval_from_checkpoint.py:427-449`). `exact_step`/`approx_step`
+    override the default (replicated) steps, e.g. with
+    `make_sharded_eval_step`; `num_examples` trims wrap-around tail rows.
     """
-    exact_step = make_eval_step(
-        model, exact_state, 1, filter_invalid_ids=filter_invalid_ids
-    )
+    if exact_step is None:
+        exact_step = make_eval_step(
+            model, exact_state, 1, filter_invalid_ids=filter_invalid_ids
+        )
     hits: Dict[int, List[np.ndarray]] = {kk: [] for kk in HR_KS if kk <= k}
-    approx_step = make_eval_step(
-        model, approx_state, k, filter_invalid_ids=filter_invalid_ids
-    )
+    if approx_step is None:
+        approx_step = make_eval_step(
+            model, approx_state, k, filter_invalid_ids=filter_invalid_ids
+        )
+    seen = 0
     for batch in batches:
         feats = batch.features
         _, exact_ids, _ = exact_step(params, feats, batch.target_ids)
         exact_top1 = exact_ids[:, 0]
         ranks, _, _ = approx_step(params, feats, exact_top1)
+        b = int(ranks.shape[0])
+        valid = b if num_examples is None else max(0, min(b, num_examples - seen))
+        seen += b
+        if valid == 0:
+            continue
+        hit = np.asarray(ranks)[:valid]
         for kk in hits:
-            hits[kk].append(np.asarray(ranks <= kk))
+            hits[kk].append(hit <= kk)
     return {f"recall@{kk}": float(np.concatenate(v).mean()) for kk, v in hits.items()}

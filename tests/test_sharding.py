@@ -153,6 +153,74 @@ class TestShardedTopK:
         np.testing.assert_array_equal(np.asarray(res.ids), np.asarray(ref.ids))
 
 
+class _DotModel:
+    """Minimal stand-in exposing the surface the top-k algorithms consume:
+    similarity = <q, x> with one component per side (P_Q = P_X = 1)."""
+
+    def apply(self, params, *args, method=None, **kw):
+        return method(params, *args, **kw)
+
+    def score_precomputed(self, params, q, tables, user_ids=None, item_indices=None):
+        comp = tables.component_embeddings[:, 0, :]        # (X, d)
+        if item_indices is not None:
+            comp = comp[item_indices]                      # (B, C, d)
+            return jnp.einsum("bd,bcd->bc", q, comp)
+        return jnp.einsum("bd,xd->bx", q, comp)
+
+    def query_components(self, params, q, user_ids=None):
+        return q[:, None, :]
+
+
+class TestShardedPadRowMasking:
+    """Pad rows (id 0, zero embeddings => MoL score ~0) must be masked BEFORE
+    every local selection: on an all-negative-score corpus they would
+    otherwise displace real items from a shard's local k-list and break the
+    exactness guarantee (ADVICE r1, medium)."""
+
+    @pytest.fixture(scope="class")
+    def negative_corpus(self):
+        from rails_tpu.index.top_k import MoLTopKState
+        from rails_tpu.similarity.mol import MoLItemTables
+
+        d, x, b = 8, 37, 4
+        # score_i = -(x - i) * <q, ones> < 0 for all i; the 5 least-negative
+        # items are the LAST ones — they all land in the final (padded) shard.
+        q = jnp.abs(jax.random.normal(jax.random.PRNGKey(0), (b, d))) + 0.1
+        items = -jnp.arange(x, 0, -1, dtype=jnp.float32)[:, None] * jnp.ones((x, d))
+        state = MoLTopKState(
+            item_ids=jnp.arange(1, x + 1, dtype=jnp.int32),
+            item_tables=MoLItemTables(
+                component_embeddings=items[:, None, :], gating_partial=None
+            ),
+            avg_component=items,
+        )
+        return _DotModel(), state, q
+
+    @pytest.mark.parametrize(
+        "method", ["MoLBruteForceTopK", "MoLNaiveTopK", "MoLAvgTopK", "MoLCombTopK"]
+    )
+    def test_pad_rows_never_displace_real_items(self, negative_corpus, method):
+        from rails_tpu.index.top_k import mol_brute_force_top_k
+
+        model, state, q = negative_corpus
+        ref = mol_brute_force_top_k(model, {}, state, q, 5)
+        assert (np.asarray(ref.scores) < 0).all()
+
+        mesh = make_mesh(MeshConfig(item_parallel=4))   # pads 37 -> 40
+        sh_state = pad_and_shard_state(state, mesh)
+        fn = make_sharded_top_k_fn(
+            method, model, {}, sh_state, mesh, k=5,
+            k_per_group=1000, avg_top_k=1000,   # full budget => must be exact
+        )
+        res = fn(q)
+        ids = np.asarray(res.ids)
+        assert (ids > 0).all(), f"pad rows leaked into {method} results"
+        np.testing.assert_array_equal(ids, np.asarray(ref.ids))
+        np.testing.assert_allclose(
+            np.asarray(res.scores), np.asarray(ref.scores), rtol=1e-5, atol=1e-5
+        )
+
+
 class TestDataParallelTraining:
     def test_dp_step_matches_single_device(self, trained):
         cfg, ds, model, params, batches = trained
