@@ -53,6 +53,14 @@ def parse_config(argv=None) -> argparse.Namespace:
     p.add_argument("--data-root", default=".")
     p.add_argument("--restore-from-ckpt", default=None)
     p.add_argument("--num-epochs", type=int, default=None)
+    # Multi-host execution (one process per host; the reference's 2-process
+    # DDP, `train.py:589-603`). On Cloud TPU pods, pass --distributed alone
+    # (args auto-discovered); elsewhere give coordinator/count/id explicitly.
+    p.add_argument("--distributed", action="store_true")
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator address host:port (process 0's)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     args = p.parse_args(argv)
     cfg = get_experiment_config(args.config)
     for ov in args.set:
@@ -65,6 +73,22 @@ def parse_config(argv=None) -> argparse.Namespace:
 def main(argv=None) -> None:
     logging.basicConfig(stream=sys.stdout, level=logging.INFO)
     args = parse_config(argv)
+    if args.distributed or args.coordinator or (args.num_processes or 0) > 1:
+        from rails_tpu.core import distributed
+
+        if args.distributed and args.coordinator is None:
+            distributed.initialize(auto_discover=True)  # TPU-pod metadata
+        else:
+            distributed.initialize(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+            )
+        logging.getLogger("rails_tpu").info(
+            "multi-host: process %d/%d, %d global devices",
+            distributed.process_index(), distributed.process_count(),
+            __import__("jax").device_count(),
+        )
     from rails_tpu.train.driver import run_training
 
     result = run_training(

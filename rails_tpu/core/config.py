@@ -248,6 +248,15 @@ class ExperimentConfig(_Base):
     name: str = "default"
     model_type: str = "HSTU"                 # | "SASRec"
     similarity_type: str = "MoL"             # | "DotProduct"
+    # Input-preprocessor / embedding-module selection, mirroring the
+    # reference's gin-selectable modules
+    # (`/root/reference/modeling/sequential/encoder_utils.py:33-148`,
+    # `input_features_preprocessors.py:94-267`, `embedding_modules.py:76-112`).
+    input_preprocessor_type: str = "positional"   # | "rated" | "combined"
+    embedding_module_type: str = "local"          # | "categorical"
+    rating_embedding_dim: int = 8                 # rated preprocessor only
+    num_ratings: int = 6                          # rating vocabulary (0..5)
+    num_item_categories: int = 0                  # categorical module only
     mol: MoLConfig = field(default_factory=MoLConfig)
     hstu: HSTUConfig = field(default_factory=HSTUConfig)
     sasrec: SASRecConfig = field(default_factory=SASRecConfig)

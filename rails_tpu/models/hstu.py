@@ -169,6 +169,12 @@ class HSTUBlock(nn.Module):
             "o_bias", nn.initializers.zeros_init(), (c.embedding_dim,)
         )
         self.dropout = nn.Dropout(c.linear_dropout_rate)
+        # Dropout on the (normalized) attention weights. NOTE: the reference
+        # threads `attn_dropout_ratio` through its STU but never applies it
+        # (`/root/reference/modeling/sequential/hstu.py:240` is stored, only
+        # the debug string at `:659` reads it); here the config field is
+        # honored for real. Published configs use 0.0, so parity holds.
+        self.attn_dropout = nn.Dropout(c.attn_dropout_rate)
 
     def _o(self, o_input: jnp.ndarray) -> jnp.ndarray:
         return (
@@ -231,6 +237,7 @@ class HSTUBlock(nn.Module):
             attn = attn * attn_mask[:, None, :, :].astype(attn.dtype)
         else:
             raise ValueError(f"Unknown normalization {c.normalization!r}")
+        attn = self.attn_dropout(attn, deterministic=not train)
 
         attn_out = jnp.einsum(
             "bhnm,bmhd->bnhd", attn, vh, preferred_element_type=self.dtype

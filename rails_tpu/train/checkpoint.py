@@ -42,13 +42,17 @@ def save_checkpoint(
         "epoch": np.asarray(epoch),
         "batch_id": np.asarray(batch_id),
     }
+    # Orbax saves are a COLLECTIVE under multi-host execution (internal
+    # process barriers); every process must call this, orbax writes from the
+    # primary. The sidecar metadata files are primary-only.
     _ckptr().save(path, payload, force=True)
-    meta = {"epoch": epoch, "batch_id": batch_id, "debug_str": debug_str}
-    with open(path + ".meta.json", "w") as f:
-        json.dump(meta, f, indent=2)
-    if config_json is not None:
-        with open(os.path.join(ckpt_dir, "config.json"), "w") as f:
-            f.write(config_json)
+    if jax.process_index() == 0:
+        meta = {"epoch": epoch, "batch_id": batch_id, "debug_str": debug_str}
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f, indent=2)
+        if config_json is not None:
+            with open(os.path.join(ckpt_dir, "config.json"), "w") as f:
+                f.write(config_json)
     return path
 
 

@@ -23,6 +23,7 @@ from typing import Dict, Optional
 import jax
 import numpy as np
 
+from rails_tpu.core import distributed as dist
 from rails_tpu.core.config import ExperimentConfig
 from rails_tpu.core.mesh import make_mesh, replicate, shard_batch
 from rails_tpu.data.datasets import RecoDataset, get_reco_dataset
@@ -49,6 +50,7 @@ def run_training(
     use_mesh: bool = True,
     dataset: Optional[RecoDataset] = None,
     num_epochs: Optional[int] = None,
+    item_id_to_category_id: Optional[np.ndarray] = None,
 ) -> TrainResult:
     t = cfg.train
     ds = dataset or get_reco_dataset(cfg.data, data_root)
@@ -62,14 +64,26 @@ def run_training(
         )
     )
     model, state, train_step, sampler = create_train_state(
-        cfg, ds.max_item_id, ds.all_item_ids, sample_batch
+        cfg, ds.max_item_id, ds.all_item_ids, sample_batch,
+        item_id_to_category_id=item_id_to_category_id,
     )
 
+    # Multi-host: one process per host (`jax.distributed.initialize` must
+    # have run before this, e.g. via cli/train --coordinator). The mesh spans
+    # every device of every process; each process feeds its own data shard.
+    n_proc = dist.process_count()
     mesh = None
-    if use_mesh and jax.device_count() > 1:
+    if (use_mesh and jax.device_count() > 1) or n_proc > 1:
         mesh = make_mesh(cfg.mesh)
         state = replicate(state, mesh)
-        logger.info("training over mesh %s", dict(mesh.shape))
+        logger.info(
+            "training over mesh %s (%d process(es))", dict(mesh.shape), n_proc
+        )
+
+    def place(batch):
+        if n_proc > 1:
+            return dist.make_global_batch(batch, mesh)
+        return shard_batch(batch, mesh) if mesh is not None else batch
 
     run_name = f"{cfg.name}-{cfg.config_hash()}"
     log_dir = os.path.join(workdir, run_name) if workdir else None
@@ -108,12 +122,15 @@ def run_training(
                 shuffle=True,
                 seed=t.random_seed + epoch,
                 drop_last=True,
+                # Per-process input sharding (the reference's
+                # DistributedSampler, `trainer/data_loader.py:39-47`).
+                num_shards=n_proc,
+                shard_index=dist.process_index(),
             )
         ):
-            if mesh is not None:
-                batch = shard_batch(batch, mesh)
+            batch = place(batch)
             state, metrics = train_step(state, batch, rng)
-            if (batch_id % t.eval_interval) == 0:
+            if (batch_id % t.eval_interval) == 0 and dist.is_primary():
                 m = {k: float(v) for k, v in metrics.items()}
                 writer.write(batch_id, m, prefix="train")
                 logger.info(
@@ -123,10 +140,15 @@ def run_training(
                 last_log = time.time()
             batch_id += 1
 
-        # Per-epoch eval (`train.py:465-535`).
+        # Per-epoch eval (`train.py:465-535`). Multi-host: params are pulled
+        # to host (fully replicated) so each process evaluates its own user
+        # shard as an independent local computation.
         is_full = (epoch % t.full_eval_every_n) == 0
+        eval_params = (
+            dist.fetch_replicated(state.params) if n_proc > 1 else state.params
+        )
         eval_state = ev.get_eval_state(
-            model, state.params, ds.all_item_ids, t.top_k_method,
+            model, eval_params, ds.all_item_ids, t.top_k_method,
             item_l2_norm=t.item_l2_norm, l2_norm_eps=t.l2_norm_eps,
         )
         # Full evals cover EVERY user exactly once (wrap-around tail batch,
@@ -138,8 +160,15 @@ def run_training(
             shuffle=True,
             seed=t.random_seed + epoch,
             drop_last=not is_full,
+            num_shards=n_proc,
+            shard_index=dist.process_index(),
         )
-        n_eval = len(ds.eval_dataset) if is_full else None
+        # This process's user-shard size; summarize_metrics all-reduces the
+        # [sum, numel] pairs so the global mean covers every user once.
+        n_eval = (
+            len(range(dist.process_index(), len(ds.eval_dataset), n_proc))
+            if is_full else None
+        )
         if not is_full:
             limited = []
             for i, b in enumerate(eval_batches):
@@ -148,19 +177,22 @@ def run_training(
                 limited.append(b)
             eval_batches = limited
         metrics_arrays, _ = ev.eval_metrics_from_batches(
-            model, state.params, eval_state, eval_batches,
+            model, eval_params, eval_state, eval_batches,
             k=eval_k, step_fn=eval_step_fn, num_examples=n_eval,
         )
         summary = ev.summarize_metrics(metrics_arrays)
         final_metrics = summary
-        writer.write(epoch, summary, prefix="eval_epoch")
-        logger.info(
-            "eval @ epoch %d: NDCG@10 %.4f HR@10 %.4f HR@50 %.4f MRR %.4f",
-            epoch, summary.get("ndcg@10", float("nan")),
-            summary.get("hr@10", float("nan")),
-            summary.get("hr@50", float("nan")),
-            summary.get("mrr", float("nan")),
-        )
+        if dist.is_primary():
+            writer.write(epoch, summary, prefix="eval_epoch")
+            logger.info(
+                "eval @ epoch %d: NDCG@10 %.4f HR@10 %.4f HR@50 %.4f MRR %.4f",
+                epoch, summary.get("ndcg@10", float("nan")),
+                summary.get("hr@10", float("nan")),
+                summary.get("hr@50", float("nan")),
+                summary.get("mrr", float("nan")),
+            )
+        # Checkpoint saves are collective (orbax barriers internally); every
+        # process calls, orbax writes from the primary.
         if ckpt_dir and epoch > 0 and (epoch % t.save_ckpt_every_n) == 0:
             save_checkpoint(
                 ckpt_dir, state, epoch, batch_id,

@@ -374,10 +374,11 @@ def eval_metrics_from_batches(
 
 
 def summarize_metrics(metrics: Dict[str, np.ndarray]) -> Dict[str, float]:
-    """Mean over examples (`_avg`, `data/eval.py:271-275`; the cross-host
-    all-reduce happens in the distributed driver)."""
-    return {k: float(np.mean(v)) if len(v) else float("nan")
-            for k, v in metrics.items()}
+    """Mean over examples; under multi-host execution the [sum, numel] pairs
+    all-reduce across processes (`_avg`, `data/eval.py:271-275`)."""
+    from rails_tpu.core.distributed import all_reduce_mean_metrics
+
+    return all_reduce_mean_metrics(metrics)
 
 
 def recall_vs_exact(

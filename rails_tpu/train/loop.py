@@ -71,10 +71,12 @@ def model_dtype(cfg: ExperimentConfig):
 
 
 def init_model(
-    cfg: ExperimentConfig, num_items: int, rng: jax.Array, sample_batch: Batch
+    cfg: ExperimentConfig, num_items: int, rng: jax.Array, sample_batch: Batch,
+    item_id_to_category_id: Optional[np.ndarray] = None,
 ) -> Tuple[SequentialRecommender, Any]:
     model = SequentialRecommender(
-        cfg=cfg, num_items=num_items, dtype=model_dtype(cfg)
+        cfg=cfg, num_items=num_items, dtype=model_dtype(cfg),
+        item_id_to_category_id=item_id_to_category_id,
     )
     feats = scatter_target(sample_batch.features, sample_batch.target_ids)
     sampler = _make_sampler(
@@ -185,11 +187,15 @@ def create_train_state(
     all_item_ids: np.ndarray,
     sample_batch: Batch,
     seed: Optional[int] = None,
+    item_id_to_category_id: Optional[np.ndarray] = None,
 ):
     """Returns (model, state, train_step, sampler)."""
     seed = cfg.train.random_seed if seed is None else seed
     rng = jax.random.PRNGKey(seed)
-    model, params = init_model(cfg, num_items, rng, sample_batch)
+    model, params = init_model(
+        cfg, num_items, rng, sample_batch,
+        item_id_to_category_id=item_id_to_category_id,
+    )
     optimizer = make_optimizer(cfg)
     opt_state = optimizer.init(params)
     state = TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))

