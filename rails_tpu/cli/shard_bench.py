@@ -34,6 +34,14 @@ def main(argv=None) -> None:
     p.add_argument("--k", type=int, default=200)
     p.add_argument("--method", default="MoLBruteForceTopKFused")
     p.add_argument("--runs", type=int, default=10)
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   help="dotted config override (e.g. mol.dot_product_dimension=8)")
+    p.add_argument(
+        "--check-against-chunked", action="store_true",
+        help="verify the sharded merged top-k against a single-device "
+        "chunked exact scan (brute-force methods: exact id equality up to "
+        "score ties)",
+    )
     args = p.parse_args(argv)
 
     import jax
@@ -64,6 +72,11 @@ def main(argv=None) -> None:
             main_module_bf16=True,
         ),
     )
+    from rails_tpu.cli.train import apply_override
+
+    for ov in args.set:
+        key, _, val = ov.partition("=")
+        cfg = apply_override(cfg, key, val)
     seqs = generate_synthetic_sequences(
         num_users=256, num_items=min(x, 100_000), max_len=64, seed=0
     )
@@ -138,6 +151,75 @@ def main(argv=None) -> None:
     )
     res = topk(q, user_ids=batch.features.user_ids)
     jax.block_until_ready(res)
+
+    if args.check_against_chunked:
+        # Exactness oracle: a single-device chunked scan over the SAME
+        # tables, merged host-side — the distributed merge must reproduce it
+        # (up to score ties) at any corpus size.
+        from rails_tpu.similarity.mol import MoLItemTables
+
+        assert state_tk.item_tables.component_embeddings.shape[0] > 0, (
+            "--check-against-chunked needs standard-layout tables "
+            "(use a non-fused method)"
+        )
+        chunk = 2_000_000
+
+        @jax.jit
+        def score_chunk(p, qq, tables, uids):
+            return model.apply(
+                p, qq, tables, user_ids=uids, method=model.score_precomputed
+            )
+
+        best_s = best_i = None
+        for s0 in range(0, x, chunk):
+            e0 = min(s0 + chunk, x)
+            t_c = MoLItemTables(
+                component_embeddings=(
+                    state_tk.item_tables.component_embeddings[s0:e0]
+                ),
+                gating_partial=(
+                    None if state_tk.item_tables.gating_partial is None
+                    else state_tk.item_tables.gating_partial[s0:e0]
+                ),
+            )
+            sc = np.asarray(
+                score_chunk(params, q, t_c, batch.features.user_ids)
+            )
+            k_loc = min(args.k, sc.shape[1])
+            idx = np.argpartition(-sc, k_loc - 1, axis=1)[:, :k_loc]
+            ss = np.take_along_axis(sc, idx, axis=1)
+            ii = np.asarray(state_tk.item_ids[s0:e0])[idx]
+            if best_s is None:
+                best_s, best_i = ss, ii
+            else:
+                cs = np.concatenate([best_s, ss], axis=1)
+                ci = np.concatenate([best_i, ii], axis=1)
+                sel = np.argpartition(-cs, args.k - 1, axis=1)[:, : args.k]
+                best_s = np.take_along_axis(cs, sel, axis=1)
+                best_i = np.take_along_axis(ci, sel, axis=1)
+        order = np.argsort(-best_s, axis=1, kind="stable")
+        best_s = np.take_along_axis(best_s, order, axis=1)[:, : args.k]
+        best_i = np.take_along_axis(best_i, order, axis=1)[:, : args.k]
+        # The fused kernel runs its gating MLP in bf16 (the chunked oracle
+        # scores in f32 math over the same bf16 tables): ~1.5% score jitter
+        # and near-tie reorderings are expected there; the non-fused paths
+        # must match the oracle exactly.
+        fused = "Fused" in args.method
+        tol = 5e-2 if fused else 2e-3
+        min_overlap = 0.95 if fused else 0.99
+        np.testing.assert_allclose(
+            np.asarray(res.scores), best_s, rtol=tol, atol=tol
+        )
+        overlap = float(np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / args.k
+            for a, b in zip(np.asarray(res.ids), best_i)
+        ]))
+        logging.info(
+            "check vs chunked exact scan: scores match, id overlap %.4f",
+            overlap,
+        )
+        assert overlap > min_overlap, overlap
+
     t0 = time.perf_counter()
     for i in range(args.runs):
         # Perturb queries per run so remote backends cannot dedupe the call.

@@ -82,6 +82,7 @@ def build_mol_topk_state(
     """
     from rails_tpu.ops.pallas.mol_scoring import (
         FusedCorpusTables,
+        m_major_perm,
         pad_corpus_tables,
     )
 
@@ -92,11 +93,15 @@ def build_mol_topk_state(
     avg = comp.mean(axis=1)
     fused = None
     if build_fused and tables.gating_partial is not None:
+        perm = m_major_perm(
+            tables.gating_partial.shape[1] // comp.shape[1], comp.shape[1]
+        )
 
         @jax.jit
         def _prep(c, g):
             c2, g2, _ = pad_corpus_tables(c, g, fused_block_x)
-            return jnp.transpose(c2, (1, 2, 0)), g2.T
+            # item_partial_t rows in the kernel's m-major logit order.
+            return jnp.transpose(c2, (1, 2, 0)), g2.T[perm]
 
         item_t, ip_t = _prep(
             comp.astype(table_dtype), tables.gating_partial.astype(table_dtype)
@@ -167,13 +172,18 @@ def build_fused_state_chunked(
     d_p = model.cfg.mol.dot_product_dimension
     l = model.cfg.mol.num_logits
 
+    from rails_tpu.ops.pallas.mol_scoring import m_major_perm
+
+    perm = m_major_perm(l // p_x, p_x)
+
     @jax.jit
     def _chunk_tables(params, emb):
         t = model.apply(params, emb, method=model.build_item_tables)
         comp_t = jnp.transpose(
             t.component_embeddings.astype(table_dtype), (1, 2, 0)
         )                                          # (P_X, d_P, C)
-        gp_t = t.gating_partial.astype(table_dtype).T      # (L, C)
+        # Rows in the kernel's m-major logit order.
+        gp_t = t.gating_partial.astype(table_dtype).T[perm]    # (L, C)
         avg = t.component_embeddings.mean(axis=1).astype(table_dtype)
         return comp_t, gp_t, avg
 

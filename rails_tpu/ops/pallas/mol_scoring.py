@@ -48,6 +48,7 @@ def _kernel(
     p_q: int,
     p_x: int,
     inv_temperature: float,
+    mlp_dtype,
 ):
     b = q_ref.shape[1]
     d_p = q_ref.shape[2]
@@ -57,27 +58,35 @@ def _kernel(
     # Component logits: one (P_Q*B, d_P) x (d_P, TX) matmul per ITEM group —
     # batching the query groups quadruples MXU row utilization at serving
     # batch sizes (B=32 alone fills only a quarter of the systolic rows).
+    # The logit axis is M-MAJOR (l' = m*P_Q + n): each group's (P_Q, B, TX)
+    # result stores as ONE contiguous scratch slice instead of P_Q strided
+    # row writes (the strided relayout measured ~20 ms/batch at 2M items —
+    # most of the logits-stage cost). The gating weights / partials arrive
+    # permuted to match (see `m_major_perm`); the final sum over l is
+    # order-invariant, so scores are unchanged.
     q_flat = q_ref[:].reshape(p_q * b, d_p)
     for m in range(p_x):
         im = item_ref[m]                       # (d_P, TX)
-        out_m = (
+        logits_ref[m * p_q : (m + 1) * p_q] = (
             jnp.dot(q_flat, im, preferred_element_type=jnp.float32)
             * inv_temperature
         ).reshape(p_q, b, tx)
-        for n in range(p_q):
-            logits_ref[n * p_x + m] = out_m[n]
 
     logits = logits_ref[:].reshape(l, b * tx)              # (L, B*TX) f32
 
-    # qi gating MLP, contracting over the logit (sublane) axis.
+    # qi gating MLP, contracting over the logit (sublane) axis. With bf16
+    # tables the MLP inputs run in bf16 (f32 accumulate): the v5e MXU
+    # executes f32 matmuls at ~1/4 the bf16 rate, and this MLP carries 2/3
+    # of the kernel's FLOPs — bf16 here matches the reference's MoL bf16
+    # autocast (`similarity_fn.py:360-362`). Scores still combine in f32.
     h = jax.lax.dot_general(
-        w1_ref[:], logits,
+        w1_ref[:].astype(mlp_dtype), logits.astype(mlp_dtype),
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                       # (H, B*TX)
     h = jax.nn.silu(h + b1_ref[0][:, None])
     qi = jax.lax.dot_general(
-        w2_ref[:], h,
+        w2_ref[:].astype(mlp_dtype), h.astype(mlp_dtype),
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                       # (L, B*TX)
@@ -97,6 +106,18 @@ def _kernel(
     e = jnp.exp(gw - gw_max)
     pi = e / jnp.sum(e, axis=0, keepdims=True)
     out_ref[:] = jnp.sum(pi * logits.reshape(l, b, tx), axis=0)
+
+
+def m_major_perm(p_q: int, p_x: int):
+    """Permutation from the model's n-major logit order (l = n*P_X + m,
+    `similarity_fn.py:389-402`) to the kernel's m-major order
+    (l' = m*P_Q + n). item_partial_t tables are stored permuted (build
+    time); query-side weights/partials permute per call (tiny)."""
+    import numpy as np
+
+    return np.asarray(
+        [n * p_x + m for m in range(p_x) for n in range(p_q)], dtype=np.int32
+    )
 
 
 class MoLKernelWeights(NamedTuple):
@@ -147,13 +168,17 @@ def prepare_fused_tables(
     item_partial: jnp.ndarray,    # (X, L)
     block_x: int = 256,
 ) -> FusedCorpusTables:
-    """One-time per-corpus transpose + pad into kernel layout."""
+    """One-time per-corpus transpose + pad into kernel layout.
+
+    item_partial_t rows are stored in the kernel's m-major logit order."""
     item_comp, item_partial, x = pad_corpus_tables(
         item_comp, item_partial, block_x
     )
+    p_x = item_comp.shape[1]
+    perm = m_major_perm(item_partial.shape[1] // p_x, p_x)
     return FusedCorpusTables(
         item_comp_t=jnp.transpose(item_comp, (1, 2, 0)),
-        item_partial_t=item_partial.T,
+        item_partial_t=item_partial.T[perm],
         num_items=x,
     )
 
@@ -187,13 +212,25 @@ def fused_mol_scores_t(
     p_x, _, x = item_comp_t.shape
     l = p_q * p_x
     h = weights.w1.shape[1]
+    # Gating-MLP compute dtype follows the table dtype: bf16 tables (the
+    # serving default) take the fast bf16 MXU path, f32 tables keep full
+    # precision (the exactness tests use f32).
+    mlp_dtype = (
+        jnp.bfloat16 if item_comp_t.dtype == jnp.bfloat16 else jnp.float32
+    )
     assert x % block_x == 0, f"X={x} not a multiple of block_x={block_x}"
     assert weights.w1.shape[0] == l and weights.w2.shape == (h, l)
     block_b = min(block_b, b)
     pad_b = (-b) % block_b
 
+    # Query-side operands permute into the kernel's m-major logit order
+    # (item_partial_t is already stored m-major by the table builders).
+    perm = m_major_perm(p_q, p_x)
     qT = jnp.transpose(q_comp, (1, 0, 2))                  # (P_Q, B, d_P)
-    qpT = query_partial                                    # (B, L)
+    qpT = query_partial[:, perm]                           # (B, L)
+    w1p = weights.w1[perm]
+    w2p = weights.w2[:, perm]
+    b2p = weights.b2[:, perm]
     if pad_b:
         qT = jnp.pad(qT, ((0, 0), (0, pad_b), (0, 0)))
         qpT = jnp.pad(qpT, ((0, pad_b), (0, 0)))
@@ -203,7 +240,8 @@ def fused_mol_scores_t(
 
     grid = (bp // block_b, x // block_x)
     kernel = functools.partial(
-        _kernel, p_q=p_q, p_x=p_x, inv_temperature=1.0 / temperature
+        _kernel, p_q=p_q, p_x=p_x, inv_temperature=1.0 / temperature,
+        mlp_dtype=mlp_dtype,
     )
     out = pl.pallas_call(
         kernel,
@@ -226,6 +264,11 @@ def fused_mol_scores_t(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bp, x), jnp.float32),
         scratch_shapes=[pltpu.VMEM((l, block_b, block_x), jnp.float32)],
+        # Both grid dims are embarrassingly parallel (each step owns its
+        # output block) — lets the pipeliner overlap freely.
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * x * l * (d_p + 2 * h),
             bytes_accessed=(
@@ -236,7 +279,7 @@ def fused_mol_scores_t(
             transcendentals=b * x * l * 2,
         ),
         interpret=interpret,
-    )(qT, qpT, itemT, ipT, weights.w1, weights.b1, weights.w2, weights.b2)
+    )(qT, qpT, itemT, ipT, w1p, weights.b1, w2p, b2p)
     return out[:b]
 
 
@@ -252,9 +295,10 @@ def fused_mol_scores(
 ) -> jnp.ndarray:
     """(B, X) scores from standard-layout tables (transposes per call;
     prefer `prepare_fused_tables` + `fused_mol_scores_t` for serving)."""
+    perm = m_major_perm(q_comp.shape[1], item_comp.shape[1])
     return fused_mol_scores_t(
         q_comp, query_partial,
-        jnp.transpose(item_comp, (1, 2, 0)), item_partial.T,
+        jnp.transpose(item_comp, (1, 2, 0)), item_partial.T[perm],
         weights, temperature, block_x=block_x, interpret=interpret,
     )
 
