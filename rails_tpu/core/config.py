@@ -208,6 +208,9 @@ class TrainConfig(_Base):
     loss_weights: Tuple[Tuple[str, float], ...] = ()
     loss_activation_checkpoint: bool = False  # remat the negatives scoring
     sampling_strategy: str = "local"         # | "in-batch"
+    # One negative set per batch instead of per position (throughput
+    # optimization beyond the reference; changes the estimator — A/B first).
+    shared_negatives: bool = False
     item_l2_norm: bool = False
     l2_norm_eps: float = 1e-6
     # Input/output processing.

@@ -36,6 +36,7 @@ def sampled_softmax_loss(
     train: bool = True,
     activation_checkpoint: bool = False,
     checkpoint_chunks: int = 4,
+    shared_negatives: bool = False,
 ) -> Tuple[jnp.ndarray, AuxLosses]:
     """Returns (scalar loss, aux losses).
 
@@ -45,6 +46,15 @@ def sampled_softmax_loss(
       - supervision: ids/embeddings at positions [1, N-1]
       - weights: 1 where supervised (position < length and id != 0)
       - accidental negatives (sampled id == positive id) masked to -5e4.
+
+    `shared_negatives=True` draws ONE set of R negatives per batch instead of
+    per position (local sampler only). The reference samples per position
+    (`jagged_forward`, `:62-66`), which makes the (M, R, D) negative
+    embedding gather + item-side MoL MLPs the training-throughput hot spot;
+    sharing negatives across the batch reduces that to (R, D) and routes
+    MoL through its shared-corpus einsum. Estimator bias is the standard
+    sampled-softmax batch-sharing trade-off; A/B quality on your task before
+    enabling (see docs/STATUS.md).
     """
     ids = features.ids
     b, n = ids.shape
@@ -69,11 +79,18 @@ def sampled_softmax_loss(
 
     rng = model.make_rng("sampler")
     if isinstance(sampler, LocalNegativesSampler):
-        sampled_ids = sampler.sample(rng, (m, num_negatives))
-        sampled_neg_embeddings = maybe_l2_norm(
-            model.get_item_embeddings(sampled_ids), sampler.l2_norm,
-            sampler.l2_norm_eps,
-        )
+        if shared_negatives:
+            sampled_ids = sampler.sample(rng, (num_negatives,))     # (R,)
+            sampled_neg_embeddings = maybe_l2_norm(
+                model.get_item_embeddings(sampled_ids), sampler.l2_norm,
+                sampler.l2_norm_eps,
+            )                                                       # (R, D)
+        else:
+            sampled_ids = sampler.sample(rng, (m, num_negatives))
+            sampled_neg_embeddings = maybe_l2_norm(
+                model.get_item_embeddings(sampled_ids), sampler.l2_norm,
+                sampler.l2_norm_eps,
+            )
     elif isinstance(sampler, InBatchNegativesSampler):
         # `process_batch` over the full (target-scattered) sequence ids with
         # the tied item table (`train.py:411-418`), then draw from the
@@ -125,17 +142,25 @@ def sampled_softmax_loss(
         parts = []
         for s in range(0, m, chunk):
             e = min(s + chunk, m)
+            neg_c = (
+                sampled_neg_embeddings[None]
+                if sampled_neg_embeddings.ndim == 2
+                else sampled_neg_embeddings[s:e]
+            )
             parts.append(
-                score_neg(
-                    model, q[s:e], sampled_neg_embeddings[s:e],
-                    user_ids_flat[s:e],
-                )
+                score_neg(model, q[s:e], neg_c, user_ids_flat[s:e])
             )
         negative_logits = jnp.concatenate(parts, axis=0)
     else:
         negative_logits, _ = model.similarity_fn(
             q,
-            sampled_neg_embeddings,          # (M, R, D)
+            # (M, R, D) per-position, or (1, R, D) shared (the similarity's
+            # shared-corpus einsum path).
+            (
+                sampled_neg_embeddings[None]
+                if sampled_neg_embeddings.ndim == 2
+                else sampled_neg_embeddings
+            ),
             user_ids=user_ids_flat,
             train=train,
             weights=w_flat,

@@ -134,6 +134,7 @@ def make_train_step(
                 params, features, sampler,
                 cfg.train.num_negatives, cfg.train.temperature, True,
                 cfg.train.loss_activation_checkpoint,
+                shared_negatives=cfg.train.shared_negatives,
                 method=sampled_softmax_loss, rngs=rngs,
             )
     elif cfg.train.loss_module == "BCELoss":

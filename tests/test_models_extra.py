@@ -415,3 +415,55 @@ class TestConfigurableModules:
         assert loss_with(0.0, 0) == loss_with(0.0, 1)
         # ...and with rate 0.5 it is not.
         assert loss_with(0.5, 0) != loss_with(0.5, 1)
+
+
+class TestSharedNegatives:
+    """Batch-shared negative sampling (throughput option beyond the
+    reference; `sampled_softmax_loss(shared_negatives=True)`)."""
+
+    def test_trains_one_step(self):
+        cfg = _tiny_cfg()
+        cfg = cfg.replace(train=cfg.train.replace(shared_negatives=True))
+        _, _, _, loss = _one_step(cfg)
+        assert np.isfinite(loss)
+
+    def test_shared_draw_is_one_set(self):
+        """With shared negatives the sampler returns (R,) ids and the loss
+        still masks accidental hits per position."""
+        from rails_tpu.losses.sampled_softmax import sampled_softmax_loss
+        from rails_tpu.losses.samplers import LocalNegativesSampler
+        from rails_tpu.data.datasets import get_reco_dataset
+        from rails_tpu.models.encoder import SequentialRecommender
+        from rails_tpu.train.loop import scatter_target
+
+        cfg = _tiny_cfg()
+        ds = get_reco_dataset(cfg.data)
+        batch = next(
+            ds.train_dataset.batches(
+                batch_size=8, max_output_length=cfg.train.gr_output_length + 1,
+                shuffle=False, drop_last=True,
+            )
+        )
+        feats = scatter_target(batch.features, batch.target_ids)
+        model = SequentialRecommender(cfg=cfg, num_items=ds.max_item_id)
+        sampler = LocalNegativesSampler(
+            all_item_ids=jnp.asarray(ds.all_item_ids, jnp.int32)
+        )
+        rngs = {"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1),
+                "sampler": jax.random.PRNGKey(2)}
+        params = model.init(
+            rngs, feats, sampler, 8, 1.0, True, method=sampled_softmax_loss
+        )
+        call = {"dropout": jax.random.PRNGKey(1), "sampler": jax.random.PRNGKey(2)}
+        loss_shared, _ = model.apply(
+            params, feats, sampler, 8, 1.0, True,
+            shared_negatives=True, method=sampled_softmax_loss, rngs=call,
+        )
+        loss_pp, _ = model.apply(
+            params, feats, sampler, 8, 1.0, True,
+            shared_negatives=False, method=sampled_softmax_loss, rngs=call,
+        )
+        assert np.isfinite(float(loss_shared))
+        # Same rng but different draw shapes: estimators differ.
+        assert float(loss_shared) != float(loss_pp)
