@@ -23,6 +23,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+from rails_tpu.ops.pallas.mol_scoring import _sigmoid_tanh
+
+
 def _ln(y: jnp.ndarray, eps: float) -> jnp.ndarray:
     mu = jnp.mean(y, axis=-1, keepdims=True)
     var = jnp.var(y, axis=-1, keepdims=True)
@@ -54,7 +57,7 @@ def _kernel(
         normed.astype(uvqk_ref.dtype), uvqk_ref[:],
         preferred_element_type=jnp.float32,
     )
-    y = jax.nn.silu(y)
+    y = y * _sigmoid_tanh(y)                       # silu, tanh form
     u = y[:, : h * dv]
     v = y[:, h * dv : 2 * h * dv]
     q = y[:, 2 * h * dv : 2 * h * dv + h * dqk]
@@ -78,7 +81,7 @@ def _kernel(
         )                                           # (N, N)
         if bias is not None:
             qk = qk + bias
-        a = jax.nn.silu(qk) * inv_n * mask
+        a = qk * _sigmoid_tanh(qk) * inv_n * mask  # silu, tanh form
         attn_cols.append(
             jnp.dot(a, vh, preferred_element_type=jnp.float32)
         )                                           # (N, dv)
