@@ -100,7 +100,11 @@ class StackedRelativeBias(nn.Module):
             (self.num_blocks, self.num_buckets + 1),
         )
 
-    def __call__(self, timestamps: jnp.ndarray) -> jnp.ndarray:  # (B, N) int
+    def __call__(
+        self,
+        timestamps: jnp.ndarray,                    # (B, N) int
+        penalty: Optional[jnp.ndarray] = None,      # (B, N, N) additive
+    ) -> jnp.ndarray:
         # Serving may run with n < max_seq_len (shorter padded batches);
         # relative offset r indexes the trained table at its center,
         # r + max_seq_len - 1.
@@ -116,6 +120,11 @@ class StackedRelativeBias(nn.Module):
         # with an L-wide payload instead of L scalar gathers.
         rel_ts = jnp.take(self.ts_w.T, buckets, axis=0)          # (B, N, N, L)
         bias = rel_pos[:, None] + jnp.moveaxis(rel_ts, -1, 0)    # (L, B, N, N)
+        if penalty is not None:
+            # Mask penalty folded in BEFORE the barrier: it fuses into the
+            # bias materialization instead of costing a second (L, B, N, N)
+            # HBM round-trip.
+            bias = bias + penalty[None].astype(bias.dtype)
         return jax.lax.optimization_barrier(bias.astype(self.dtype))
 
     def row(
@@ -335,10 +344,14 @@ class HSTUStack(nn.Module):
             for i in range(self.cfg.num_blocks)
         ]
 
-    def _bias_all(self, timestamps: Optional[jnp.ndarray]):
+    def _bias_all(
+        self,
+        timestamps: Optional[jnp.ndarray],
+        penalty: Optional[jnp.ndarray] = None,
+    ):
         if timestamps is None or self.rel_attn_bias is None:
             return None
-        return self.rel_attn_bias(timestamps)
+        return self.rel_attn_bias(timestamps, penalty)
 
     def __call__(
         self,
@@ -348,7 +361,6 @@ class HSTUStack(nn.Module):
         train: bool = False,
     ) -> jnp.ndarray:
         b, n, _ = x.shape
-        bias_all = self._bias_all(timestamps)
         if self.cfg.fused_inference and not train:
             from rails_tpu.ops.pallas.hstu_block import fused_hstu_block
 
@@ -362,6 +374,13 @@ class HSTUStack(nn.Module):
                 "fused_inference does not support concat_ua"
             )
             colmask = valid.astype(jnp.float32)
+            # Fold causality + column validity into the bias as a -30000
+            # additive penalty: silu's tanh-form sigmoid saturates to an
+            # exact 0 there, and the kernel skips a per-head (N, N) mask
+            # multiply.
+            causal = jnp.tril(jnp.ones((n, n), dtype=jnp.float32))
+            mask = causal[None] * colmask[:, None, :]
+            bias_all = self._bias_all(timestamps, (mask - 1.0) * 30000.0)
             for layer_idx, block in enumerate(self.blocks):
                 x = fused_hstu_block(
                     x,
@@ -375,8 +394,10 @@ class HSTUStack(nn.Module):
                     dv=self.cfg.dv,
                     inv_n=1.0 / self.max_seq_len,
                     eps=self.cfg.epsilon,
+                    mask_in_bias=bias_all is not None,
                 )
             return x * valid[..., None].astype(x.dtype)
+        bias_all = self._bias_all(timestamps)
         causal = jnp.tril(jnp.ones((n, n), dtype=jnp.float32))
         attn_mask = causal[None] * valid[:, None, :].astype(jnp.float32)
         for layer_idx, block in enumerate(self.blocks):

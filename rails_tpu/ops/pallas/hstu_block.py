@@ -1,12 +1,25 @@
 """Fully-fused HSTU block forward (inference) as a Pallas kernel.
 
-One grid step processes one sequence through an entire HSTU block in VMEM:
-LayerNorm -> fused uvqk matmul + SiLU -> per-head pointwise-SiLU attention
-(+ relative bias, causal & validity masks, 1/N normalization) ->
+One grid step processes a GROUP of sequences through an entire HSTU block in
+VMEM: LayerNorm -> fused uvqk matmul + SiLU -> per-head pointwise-SiLU
+attention (+ relative bias, causal & validity masks, 1/N normalization) ->
 u * LayerNorm(attn) -> output projection + residual. The XLA path
 materializes the (B, N, 4hd) projection and the (B, h, N, N) attention
 tensors in HBM per block; here HBM traffic per block is just x in/out, the
 (B, N, N) bias slice, and the weights.
+
+Performance notes (measured on v5e, ML-20M geometry):
+  - The projection/output matmuls run on bf16 operands with fp32 MXU
+    accumulation. q/k/v are cast back to bf16 *before* the attention
+    matmuls — leaving them fp32 (the silu output dtype) forces multi-pass
+    fp32 MXU emulation and was the round-1 kernel's main encode bottleneck.
+  - Grouping `block_users` sequences per grid step turns the (N, D) x (D, F)
+    projection into (G*N, D) x (D, F), amortizing weight residency and
+    pipeline bubbles across users.
+  - The 1/N attention normalizer is folded into v (N*dv elements) instead of
+    the (h, N, N) attention tensor.
+  - sigmoid/silu go through the exact tanh identity (fast HW tanh; Mosaic
+    lowers jax.nn.silu via exp, which measured ~1.5x slower end-to-end).
 
 Used for the serving/eval path (`HSTUConfig.fused_inference`); training keeps
 the XLA path (autodiff + dropout).
@@ -25,6 +38,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rails_tpu.ops.pallas.mol_scoring import _sigmoid_tanh
 
+# fp32 bytes of the (G*N, F) projection buffer allowed per grid step; G is
+# chosen as the largest divisor of B whose buffer fits. ~3.5 MB at ML-20M
+# geometry (N=211, F=1024, G=4) leaves headroom in ~16 MB VMEM for the
+# double-buffered x/bias/out blocks and the attention intermediates.
+_PROJ_BUF_BYTES = 4 * 1024 * 1024
+
 
 def _ln(y: jnp.ndarray, eps: float) -> jnp.ndarray:
     mu = jnp.mean(y, axis=-1, keepdims=True)
@@ -33,75 +52,105 @@ def _ln(y: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 
 def _kernel(
-    x_ref,        # (1, N, D)
-    bias_ref,     # (1, N, N) or None (decided by has_bias)
-    colmask_ref,  # (1, 1, N) float {0,1}
+    x_ref,        # (G, N, D)
+    bias_ref,     # (G, N, N) or dummy (G, 1, 1) (decided by has_bias)
+    colmask_ref,  # (G, 1, N) float {0,1}
     uvqk_ref,     # (D, F)
     ow_ref,       # (h*dv, D)
     ob_ref,       # (1, D)
-    out_ref,      # (1, N, D)
+    out_ref,      # (G, N, D)
     *,
+    group: int,
     num_heads: int,
     dqk: int,
     dv: int,
     inv_n: float,
     eps: float,
     has_bias: bool,
+    mask_in_bias: bool,
 ):
-    x = x_ref[0]                                   # (N, D)
-    n = x.shape[0]
+    g, n, d = x_ref.shape
     h = num_heads
+    mm_dtype = uvqk_ref.dtype  # bf16 in the serving path, fp32 in fp32 tests
 
-    normed = _ln(x.astype(jnp.float32), eps)
+    x2 = x_ref[...].reshape(g * n, d)                 # (G*N, D)
+    normed = _ln(x2.astype(jnp.float32), eps)
     y = jnp.dot(
-        normed.astype(uvqk_ref.dtype), uvqk_ref[:],
+        normed.astype(mm_dtype), uvqk_ref[...],
         preferred_element_type=jnp.float32,
-    )
-    y = y * _sigmoid_tanh(y)                       # silu, tanh form
-    u = y[:, : h * dv]
-    v = y[:, h * dv : 2 * h * dv]
-    q = y[:, 2 * h * dv : 2 * h * dv + h * dqk]
-    k = y[:, 2 * h * dv + h * dqk :]
+    )                                                 # (G*N, F) fp32
+    y = y * _sigmoid_tanh(y)                          # silu, tanh form
+    u = y[:, : h * dv]                                # fp32 (for gating)
+    # Attention operands drop to the matmul dtype; 1/N folds into v.
+    v = (y[:, h * dv : 2 * h * dv] * inv_n).astype(mm_dtype)
+    q = y[:, 2 * h * dv : 2 * h * dv + h * dqk].astype(mm_dtype)
+    k = y[:, 2 * h * dv + h * dqk :].astype(mm_dtype)
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    causal = (col <= row).astype(jnp.float32)
-    mask = causal * colmask_ref[0, 0][None, :].astype(jnp.float32)
-    bias = bias_ref[0].astype(jnp.float32) if has_bias else None
+    if mask_in_bias:
+        # The caller folded causality + column validity into the bias as a
+        # -30000 additive penalty: tanh saturates exactly to -1 there, so
+        # silu(qk) is an exact 0 with no per-head mask multiply.
+        mask = None
+    else:
+        row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        causal = (col <= row).astype(jnp.float32)
 
-    attn_cols = []
-    for head in range(h):
-        qh = q[:, head * dqk : (head + 1) * dqk]
-        kh = k[:, head * dqk : (head + 1) * dqk]
-        vh = v[:, head * dv : (head + 1) * dv]
-        qk = jax.lax.dot_general(
-            qh, kh,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                           # (N, N)
-        if bias is not None:
-            qk = qk + bias
-        a = qk * _sigmoid_tanh(qk) * inv_n * mask  # silu, tanh form
-        attn_cols.append(
-            jnp.dot(a, vh, preferred_element_type=jnp.float32)
-        )                                           # (N, dv)
-    attn = jnp.concatenate(attn_cols, axis=1)       # (N, h*dv)
+    for gi in range(group):
+        sl = slice(gi * n, (gi + 1) * n)
+        if not mask_in_bias:
+            mask = causal * colmask_ref[gi, 0][None, :].astype(jnp.float32)
+        bias = bias_ref[gi].astype(jnp.float32) if has_bias else None
+        attn_cols = []
+        for head in range(h):
+            qh = q[sl, head * dqk : (head + 1) * dqk]
+            kh = k[sl, head * dqk : (head + 1) * dqk]
+            vh = v[sl, head * dv : (head + 1) * dv]
+            qk = jax.lax.dot_general(
+                qh, kh,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                         # (N, N) fp32
+            if bias is not None:
+                qk = qk + bias
+            a = qk * _sigmoid_tanh(qk)
+            if mask is not None:
+                a = a * mask
+            a = a.astype(mm_dtype)
+            attn_cols.append(
+                jnp.dot(a, vh, preferred_element_type=jnp.float32)
+            )                                         # (N, dv); 1/N is in v
+        attn = jnp.concatenate(attn_cols, axis=1)     # (N, h*dv) fp32
 
-    o_input = u * _ln(attn, eps)
-    out = (
-        jnp.dot(
-            o_input.astype(ow_ref.dtype), ow_ref[:],
-            preferred_element_type=jnp.float32,
+        o_input = u[sl] * _ln(attn, eps)
+        out = (
+            jnp.dot(
+                o_input.astype(ow_ref.dtype), ow_ref[...],
+                preferred_element_type=jnp.float32,
+            )
+            + ob_ref[0][None, :]
+            + x_ref[gi].astype(jnp.float32)
         )
-        + ob_ref[0][None, :]
-        + x.astype(jnp.float32)
-    )
-    out_ref[0] = out.astype(out_ref.dtype)
+        out_ref[gi] = out.astype(out_ref.dtype)
+
+
+def _pick_group(b: int, n: int, f: int, requested: Optional[int]) -> int:
+    if requested is not None:
+        assert b % requested == 0, (b, requested)
+        return requested
+    limit = max(1, _PROJ_BUF_BYTES // (n * f * 4))
+    for g in (16, 8, 4, 2, 1):
+        if g <= limit and b % g == 0:
+            return g
+    return 1
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "dqk", "dv", "inv_n", "eps", "interpret"),
+    static_argnames=(
+        "num_heads", "dqk", "dv", "inv_n", "eps", "interpret", "block_users",
+        "mask_in_bias",
+    ),
 )
 def fused_hstu_block(
     x: jnp.ndarray,               # (B, N, D)
@@ -116,26 +165,38 @@ def fused_hstu_block(
     inv_n: float,
     eps: float = 1e-6,
     interpret: Optional[bool] = None,
+    block_users: Optional[int] = None,
+    mask_in_bias: bool = False,
 ) -> jnp.ndarray:
-    """One HSTU block forward; semantics of `HSTUBlock.__call__` (eval)."""
+    """One HSTU block forward; semantics of `HSTUBlock.__call__` (eval).
+
+    `mask_in_bias=True` promises that `bias` already carries a -30000
+    additive penalty at masked (causal/invalid-column) positions, letting
+    the kernel skip the per-head mask multiply."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     b, n, d = x.shape
     f = uvqk.shape[1]
+    group = _pick_group(b, n, f, block_users)
     has_bias = bias is not None
+    assert has_bias or not mask_in_bias, "mask_in_bias requires a bias"
     if not has_bias:
         # Fixed kernel arity: dummy per-row zero bias block (never read).
         bias = jnp.zeros((b, 1, 1), dtype=x.dtype)
-    bias_block = (1, n, n) if has_bias else (1, 1, 1)
+    bias_block = (group, n, n) if has_bias else (group, 1, 1)
     kernel = functools.partial(
         _kernel,
-        num_heads=num_heads, dqk=dqk, dv=dv,
-        inv_n=inv_n, eps=eps, has_bias=has_bias,
+        group=group, num_heads=num_heads, dqk=dqk, dv=dv,
+        inv_n=inv_n, eps=eps, has_bias=has_bias, mask_in_bias=mask_in_bias,
     )
     in_specs = [
-        pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (group, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
         pl.BlockSpec(bias_block, lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (group, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
         pl.BlockSpec((d, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(
             (num_heads * dv, d), lambda i: (0, 0), memory_space=pltpu.VMEM
@@ -146,18 +207,21 @@ def fused_hstu_block(
 
     return pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // group,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (group, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * d * f + 4 * b * num_heads * n * n * dqk,
             bytes_accessed=(
                 2 * x.size * x.dtype.itemsize
                 + (bias.size * bias.dtype.itemsize if has_bias else 0)
-                + uvqk.size * uvqk.dtype.itemsize * b
+                + uvqk.size * uvqk.dtype.itemsize * (b // group)
             ),
             transcendentals=b * n * (f + num_heads * n),
         ),

@@ -112,11 +112,14 @@ def _kernel(
     gw = gi * _sigmoid_tanh(gi)
 
     # Softmax over the logit axis and the weighted combine. Reuse the
-    # already-loaded logits value rather than re-reading the scratch ref.
+    # already-loaded logits value rather than re-reading the scratch ref,
+    # and normalize AFTER the weighted sum: sum(e*logit)/sum(e) replaces a
+    # per-element (L, B, TX) division with one (B, TX) division.
     gw_max = jnp.max(gw, axis=0, keepdims=True)
     e = jnp.exp(gw - gw_max)
-    pi = e / jnp.sum(e, axis=0, keepdims=True)
-    out_ref[:] = jnp.sum(pi * logits.reshape(l, b, tx), axis=0)
+    s1 = jnp.sum(e * logits.reshape(l, b, tx), axis=0)
+    s0 = jnp.sum(e, axis=0)
+    out_ref[:] = s1 / s0
 
 
 def m_major_perm(p_q: int, p_x: int):
