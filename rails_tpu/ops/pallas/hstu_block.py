@@ -44,6 +44,9 @@ from rails_tpu.ops.pallas.mol_scoring import _sigmoid_tanh
 # double-buffered x/bias/out blocks and the attention intermediates.
 _PROJ_BUF_BYTES = 4 * 1024 * 1024
 
+# Lane width of the VPU vreg: a dynamic_gather table must fit 128 lanes.
+_LANES = 128
+
 
 def _ln(y: jnp.ndarray, eps: float) -> jnp.ndarray:
     mu = jnp.mean(y, axis=-1, keepdims=True)
@@ -51,10 +54,36 @@ def _ln(y: jnp.ndarray, eps: float) -> jnp.ndarray:
     return (y - mu) * jax.lax.rsqrt(var + eps)
 
 
+def _lane_gather(tbl_row: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """out[r, c] = tbl_row[idx[r, c]] for a table of <= 128 entries.
+
+    `jnp.take_along_axis(op2d, idx2d, axis=1)` with equal shapes lowers to
+    `tpu.dynamic_gather` along lanes; wider index matrices run in overlapping
+    128-column chunks (idx values must be < 128).
+    """
+    r, c = idx.shape
+    tbl = jnp.broadcast_to(tbl_row[None, :], (r, _LANES))
+    if c <= _LANES:
+        idx_p = jnp.pad(idx, ((0, 0), (0, _LANES - c)))
+        return jnp.take_along_axis(tbl, idx_p, axis=1)[:, :c]
+    parts = [jnp.take_along_axis(tbl, idx[:, :_LANES], axis=1)]
+    done = _LANES
+    while done < c:
+        take = min(_LANES, c - done)
+        chunk = jnp.take_along_axis(tbl, idx[:, c - _LANES :], axis=1)
+        parts.append(chunk[:, _LANES - take :])
+        done += take
+    return jnp.concatenate(parts, axis=1)
+
+
 def _kernel(
     x_ref,        # (G, N, D)
     bias_ref,     # (G, N, N) or dummy (G, 1, 1) (decided by has_bias)
     colmask_ref,  # (G, 1, N) float {0,1}
+    relpos_ref,   # (N, N) fp32 layer rel-pos bias, or dummy (1, 1)
+    ext_ref,      # (G, 1, N+1) int32 extended timestamps, or dummy (G, 1, 1)
+    nxt_ref,      # (G, N, 1) int32 next-item timestamps, or dummy (G, 1, 1)
+    tsw_ref,      # (1, 128) fp32 time-bucket table, or dummy (1, 1)
     uvqk_ref,     # (D, F)
     ow_ref,       # (h*dv, D)
     ob_ref,       # (1, D)
@@ -68,6 +97,8 @@ def _kernel(
     eps: float,
     has_bias: bool,
     mask_in_bias: bool,
+    internal_bias: bool,
+    num_buckets: int,
 ):
     g, n, d = x_ref.shape
     h = num_heads
@@ -91,6 +122,7 @@ def _kernel(
         # -30000 additive penalty: tanh saturates exactly to -1 there, so
         # silu(qk) is an exact 0 with no per-head mask multiply.
         mask = None
+        causal = None
     else:
         row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
@@ -98,9 +130,31 @@ def _kernel(
 
     for gi in range(group):
         sl = slice(gi * n, (gi + 1) * n)
-        if not mask_in_bias:
+        if internal_bias:
+            # Bucketized time-delta bias computed entirely in VMEM: no
+            # (L, B, N, N) HBM bias tensor exists anywhere. delta(i, j) =
+            # ts[i+1] - ts[j] (the reference's next-item gap semantics);
+            # bucket = trunc(log|delta| / 0.301) clipped to num_buckets, then
+            # a 128-lane dynamic_gather picks the layer's bucket weight.
+            # int32 timestamps bound buckets by ln(2^31)/0.301 = 71 < 128,
+            # so the 128-lane table is exact.
+            delta = nxt_ref[gi] - ext_ref[gi, 0, :n].reshape(1, n)   # (N, N)
+            fdelta = jnp.maximum(jnp.abs(delta), 1).astype(jnp.float32)
+            bk = jnp.clip(
+                (jnp.log(fdelta) * (1.0 / 0.301)).astype(jnp.int32),
+                0,
+                min(num_buckets, _LANES - 1),
+            )
+            ts_bias = _lane_gather(tsw_ref[0], bk)
+            colmask_g = colmask_ref[gi, 0][None, :].astype(jnp.float32)
+            penalty = (causal * colmask_g - 1.0) * 30000.0
+            bias = relpos_ref[...] + ts_bias + penalty
+            mask = None
+        elif not mask_in_bias:
             mask = causal * colmask_ref[gi, 0][None, :].astype(jnp.float32)
-        bias = bias_ref[gi].astype(jnp.float32) if has_bias else None
+            bias = bias_ref[gi].astype(jnp.float32) if has_bias else None
+        else:
+            bias = bias_ref[gi].astype(jnp.float32) if has_bias else None
         attn_cols = []
         for head in range(h):
             qh = q[sl, head * dqk : (head + 1) * dqk]
@@ -149,7 +203,7 @@ def _pick_group(b: int, n: int, f: int, requested: Optional[int]) -> int:
     jax.jit,
     static_argnames=(
         "num_heads", "dqk", "dv", "inv_n", "eps", "interpret", "block_users",
-        "mask_in_bias",
+        "mask_in_bias", "num_buckets",
     ),
 )
 def fused_hstu_block(
@@ -167,19 +221,71 @@ def fused_hstu_block(
     interpret: Optional[bool] = None,
     block_users: Optional[int] = None,
     mask_in_bias: bool = False,
+    time_bias: Optional[tuple] = None,
+    num_buckets: int = 128,
 ) -> jnp.ndarray:
     """One HSTU block forward; semantics of `HSTUBlock.__call__` (eval).
 
     `mask_in_bias=True` promises that `bias` already carries a -30000
     additive penalty at masked (causal/invalid-column) positions, letting
-    the kernel skip the per-head mask multiply."""
+    the kernel skip the per-head mask multiply.
+
+    `time_bias=(rel_pos, ext, tsw128)` switches to the internal-bias mode:
+    the relative-attention bias is computed inside the kernel (rel-pos slab +
+    VMEM-gathered bucketized time bias + causal/validity penalty) and NO
+    per-layer (B, N, N) bias tensor ever touches HBM. `rel_pos` is the
+    layer's (N, N) fp32 position bias, `ext` the (B, N+1) int32 extended
+    timestamps, `tsw128` the layer's (128,) fp32 bucket table (entries past
+    127 are unreachable for int32 timestamps). Mutually exclusive with
+    `bias`.
+    """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     b, n, d = x.shape
     f = uvqk.shape[1]
     group = _pick_group(b, n, f, block_users)
     has_bias = bias is not None
+    internal = time_bias is not None
     assert has_bias or not mask_in_bias, "mask_in_bias requires a bias"
+    assert not (has_bias and internal), "bias and time_bias are exclusive"
+    if internal:
+        rel_pos, ext, tsw128 = time_bias
+        assert ext.dtype == jnp.int32, "internal time bias requires int32 ts"
+        assert ext.shape == (b, n + 1), ext.shape
+        assert rel_pos.shape == (n, n), rel_pos.shape
+        nxt = ext[:, 1:, None]                       # (B, N, 1) column layout
+        ext3 = ext[:, None, :]                       # (B, 1, N+1) row layout
+        relpos_spec = pl.BlockSpec(
+            (n, n), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        ext_spec = pl.BlockSpec(
+            (group, 1, n + 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        nxt_spec = pl.BlockSpec(
+            (group, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        tsw_spec = pl.BlockSpec(
+            (1, _LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        tsw128 = tsw128.reshape(1, _LANES).astype(jnp.float32)
+        rel_pos = rel_pos.astype(jnp.float32)
+    else:
+        rel_pos = jnp.zeros((1, 1), jnp.float32)
+        ext3 = jnp.zeros((b, 1, 1), jnp.int32)
+        nxt = jnp.zeros((b, 1, 1), jnp.int32)
+        tsw128 = jnp.zeros((1, 1), jnp.float32)
+        relpos_spec = pl.BlockSpec(
+            (1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        ext_spec = pl.BlockSpec(
+            (group, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        nxt_spec = pl.BlockSpec(
+            (group, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        tsw_spec = pl.BlockSpec(
+            (1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
     if not has_bias:
         # Fixed kernel arity: dummy per-row zero bias block (never read).
         bias = jnp.zeros((b, 1, 1), dtype=x.dtype)
@@ -188,6 +294,7 @@ def fused_hstu_block(
         _kernel,
         group=group, num_heads=num_heads, dqk=dqk, dv=dv,
         inv_n=inv_n, eps=eps, has_bias=has_bias, mask_in_bias=mask_in_bias,
+        internal_bias=internal, num_buckets=num_buckets,
     )
     in_specs = [
         pl.BlockSpec(
@@ -197,13 +304,20 @@ def fused_hstu_block(
         pl.BlockSpec(
             (group, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
+        relpos_spec,
+        ext_spec,
+        nxt_spec,
+        tsw_spec,
         pl.BlockSpec((d, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(
             (num_heads * dv, d), lambda i: (0, 0), memory_space=pltpu.VMEM
         ),
         pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
-    operands = [x, bias, colmask[:, None, :], uvqk, o_kernel, o_bias[None, :]]
+    operands = [
+        x, bias, colmask[:, None, :], rel_pos, ext3, nxt, tsw128,
+        uvqk, o_kernel, o_bias[None, :],
+    ]
 
     return pl.pallas_call(
         kernel,
@@ -223,7 +337,7 @@ def fused_hstu_block(
                 + (bias.size * bias.dtype.itemsize if has_bias else 0)
                 + uvqk.size * uvqk.dtype.itemsize * (b // group)
             ),
-            transcendentals=b * n * (f + num_heads * n),
+            transcendentals=b * n * (f + num_heads * n + (n if internal else 0)),
         ),
         interpret=interpret,
     )(*operands)
