@@ -386,15 +386,7 @@ class HSTUStack(nn.Module):
         if self.cfg.fused_inference and not train:
             from rails_tpu.ops.pallas.hstu_block import fused_hstu_block
 
-            assert self.cfg.linear_activation == "silu", (
-                "fused_inference supports linear_activation='silu' only"
-            )
-            assert self.cfg.normalization in ("rel_bias", "hstu_rel_bias"), (
-                "fused_inference supports the pointwise-SiLU attention only"
-            )
-            assert not self.cfg.concat_ua, (
-                "fused_inference does not support concat_ua"
-            )
+            softmax = self.cfg.normalization == "softmax_rel_bias"
             colmask = valid.astype(jnp.float32)
             use_internal = (
                 timestamps is not None
@@ -412,6 +404,10 @@ class HSTUStack(nn.Module):
                     [timestamps, timestamps[:, n - 1 : n]], axis=1
                 )
                 bias_all = None
+            elif softmax:
+                # softmax applies the mask after normalization — raw bias,
+                # in-kernel mask multiply.
+                bias_all = self._bias_all(timestamps)
             else:
                 # Precomputed-bias fallback (e.g. int64 timestamps). Fold
                 # causality + column validity into the bias as a -30000
@@ -434,13 +430,15 @@ class HSTUStack(nn.Module):
                     dv=self.cfg.dv,
                     inv_n=1.0 / self.max_seq_len,
                     eps=self.cfg.epsilon,
-                    mask_in_bias=bias_all is not None,
+                    mask_in_bias=bias_all is not None and not softmax,
                     time_bias=(
                         (pos_all[layer_idx], ext, tsw_all[layer_idx])
                         if use_internal
                         else None
                     ),
                     num_buckets=self.cfg.num_time_buckets,
+                    activation=self.cfg.linear_activation,
+                    normalization=self.cfg.normalization,
                 )
             return x * valid[..., None].astype(x.dtype)
         bias_all = self._bias_all(timestamps)

@@ -99,6 +99,9 @@ def _kernel(
     mask_in_bias: bool,
     internal_bias: bool,
     num_buckets: int,
+    activation: str,
+    softmax: bool,
+    concat_ua: bool,
 ):
     g, n, d = x_ref.shape
     h = num_heads
@@ -110,10 +113,15 @@ def _kernel(
         normed.astype(mm_dtype), uvqk_ref[...],
         preferred_element_type=jnp.float32,
     )                                                 # (G*N, F) fp32
-    y = y * _sigmoid_tanh(y)                          # silu, tanh form
+    if activation == "silu":
+        y = y * _sigmoid_tanh(y)                      # silu, tanh form
     u = y[:, : h * dv]                                # fp32 (for gating)
-    # Attention operands drop to the matmul dtype; 1/N folds into v.
-    v = (y[:, h * dv : 2 * h * dv] * inv_n).astype(mm_dtype)
+    # Attention operands drop to the matmul dtype; for the pointwise-SiLU
+    # attention the 1/N normalizer folds into v (softmax normalizes itself).
+    v = y[:, h * dv : 2 * h * dv]
+    if not softmax:
+        v = v * inv_n
+    v = v.astype(mm_dtype)
     q = y[:, 2 * h * dv : 2 * h * dv + h * dqk].astype(mm_dtype)
     k = y[:, 2 * h * dv + h * dqk :].astype(mm_dtype)
 
@@ -127,6 +135,8 @@ def _kernel(
         row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
         causal = (col <= row).astype(jnp.float32)
+
+    rsqrt_dqk = 1.0 / float(dqk) ** 0.5
 
     for gi in range(group):
         sl = slice(gi * n, (gi + 1) * n)
@@ -147,9 +157,15 @@ def _kernel(
             )
             ts_bias = _lane_gather(tsw_ref[0], bk)
             colmask_g = colmask_ref[gi, 0][None, :].astype(jnp.float32)
-            penalty = (causal * colmask_g - 1.0) * 30000.0
-            bias = relpos_ref[...] + ts_bias + penalty
-            mask = None
+            bias = relpos_ref[...] + ts_bias
+            if softmax:
+                # The reference applies the mask AFTER softmax (masked
+                # columns still feed the denominator), so the penalty trick
+                # is out: keep the raw bias and a real mask multiply.
+                mask = causal * colmask_g
+            else:
+                bias = bias + (causal * colmask_g - 1.0) * 30000.0
+                mask = None
         elif not mask_in_bias:
             mask = causal * colmask_ref[gi, 0][None, :].astype(jnp.float32)
             bias = bias_ref[gi].astype(jnp.float32) if has_bias else None
@@ -167,7 +183,13 @@ def _kernel(
             )                                         # (N, N) fp32
             if bias is not None:
                 qk = qk + bias
-            a = qk * _sigmoid_tanh(qk)
+            if softmax:
+                p = qk * rsqrt_dqk
+                p = p - jnp.max(p, axis=1, keepdims=True)
+                e = jnp.exp(p)
+                a = e / jnp.sum(e, axis=1, keepdims=True)
+            else:
+                a = qk * _sigmoid_tanh(qk)
             if mask is not None:
                 a = a * mask
             a = a.astype(mm_dtype)
@@ -176,7 +198,13 @@ def _kernel(
             )                                         # (N, dv); 1/N is in v
         attn = jnp.concatenate(attn_cols, axis=1)     # (N, h*dv) fp32
 
-        o_input = u[sl] * _ln(attn, eps)
+        if concat_ua:
+            a_ln = _ln(attn, eps)
+            o_input = jnp.concatenate(
+                [u[sl], a_ln, u[sl] * a_ln], axis=1
+            )                                         # (N, 3*h*dv)
+        else:
+            o_input = u[sl] * _ln(attn, eps)
         out = (
             jnp.dot(
                 o_input.astype(ow_ref.dtype), ow_ref[...],
@@ -203,7 +231,7 @@ def _pick_group(b: int, n: int, f: int, requested: Optional[int]) -> int:
     jax.jit,
     static_argnames=(
         "num_heads", "dqk", "dv", "inv_n", "eps", "interpret", "block_users",
-        "mask_in_bias", "num_buckets",
+        "mask_in_bias", "num_buckets", "activation", "normalization",
     ),
 )
 def fused_hstu_block(
@@ -223,6 +251,8 @@ def fused_hstu_block(
     mask_in_bias: bool = False,
     time_bias: Optional[tuple] = None,
     num_buckets: int = 128,
+    activation: str = "silu",
+    normalization: str = "rel_bias",
 ) -> jnp.ndarray:
     """One HSTU block forward; semantics of `HSTUBlock.__call__` (eval).
 
@@ -246,8 +276,16 @@ def fused_hstu_block(
     group = _pick_group(b, n, f, block_users)
     has_bias = bias is not None
     internal = time_bias is not None
+    softmax = normalization == "softmax_rel_bias"
+    assert normalization in ("rel_bias", "hstu_rel_bias", "softmax_rel_bias")
+    assert activation in ("silu", "none"), activation
     assert has_bias or not mask_in_bias, "mask_in_bias requires a bias"
     assert not (has_bias and internal), "bias and time_bias are exclusive"
+    assert not (softmax and mask_in_bias), (
+        "softmax applies the mask after normalization; fold-in changes the "
+        "denominator — pass the raw bias with mask_in_bias=False"
+    )
+    concat_ua = o_kernel.shape[0] == 3 * num_heads * dv
     if internal:
         rel_pos, ext, tsw128 = time_bias
         assert ext.dtype == jnp.int32, "internal time bias requires int32 ts"
@@ -295,6 +333,7 @@ def fused_hstu_block(
         group=group, num_heads=num_heads, dqk=dqk, dv=dv,
         inv_n=inv_n, eps=eps, has_bias=has_bias, mask_in_bias=mask_in_bias,
         internal_bias=internal, num_buckets=num_buckets,
+        activation=activation, softmax=softmax, concat_ua=concat_ua,
     )
     in_specs = [
         pl.BlockSpec(
@@ -310,7 +349,7 @@ def fused_hstu_block(
         tsw_spec,
         pl.BlockSpec((d, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(
-            (num_heads * dv, d), lambda i: (0, 0), memory_space=pltpu.VMEM
+            (o_kernel.shape[0], d), lambda i: (0, 0), memory_space=pltpu.VMEM
         ),
         pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]

@@ -76,3 +76,84 @@ def test_fused_block_no_bias(setup):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5
     )
+
+
+def test_internal_time_bias_matches_precomputed_kernel():
+    """time_bias (in-VMEM gather) vs the precomputed mask_in_bias path."""
+    import jax
+    import jax.numpy as jnp
+
+    from rails_tpu.ops.pallas.hstu_block import fused_hstu_block
+
+    b, n, d, h, dqk, dv, nb = 4, 211, 64, 2, 16, 16, 128
+    f = 2 * h * dv + 2 * h * dqk
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+    ts = jnp.asarray(
+        np.sort(rng.integers(0, 1 << 30, size=(b, n)), axis=1), jnp.int32
+    )
+    colmask = jnp.asarray((rng.random((b, n)) < 0.9).astype(np.float32))
+    uvqk = jnp.asarray(0.02 * rng.standard_normal((d, f)), jnp.float32)
+    ow = jnp.asarray(0.02 * rng.standard_normal((h * dv, d)), jnp.float32)
+    ob = jnp.asarray(np.zeros((d,), np.float32))
+    pos_w = jnp.asarray(0.02 * rng.standard_normal((2 * n - 1,)), jnp.float32)
+    ts_w = jnp.asarray(0.02 * rng.standard_normal((nb + 1,)), jnp.float32)
+
+    # Precomputed bias exactly as StackedRelativeBias + penalty folding.
+    i = jnp.arange(n)[:, None]
+    j = jnp.arange(n)[None, :]
+    rel_pos = pos_w[j - i + n - 1]
+    ext = jnp.concatenate([ts, ts[:, n - 1 : n]], axis=1)
+    delta = ext[:, 1:, None] - ext[:, None, :-1]
+    v = jnp.log(jnp.maximum(jnp.abs(delta).astype(jnp.float32), 1.0)) / 0.301
+    buckets = jnp.clip(v.astype(jnp.int32), 0, nb)
+    bias = rel_pos[None] + ts_w[buckets]
+    mask = (j <= i).astype(jnp.float32)[None] * colmask[:, None, :]
+    bias_pen = bias + (mask - 1.0) * 30000.0
+
+    kw = dict(num_heads=h, dqk=dqk, dv=dv, inv_n=1.0 / n, eps=1e-6)
+    ref = fused_hstu_block(
+        x, bias_pen, colmask, uvqk, ow, ob, mask_in_bias=True, **kw
+    )
+    got = fused_hstu_block(
+        x, None, colmask, uvqk, ow, ob,
+        time_bias=(rel_pos, ext, jnp.pad(ts_w, (0, 0))[:128]),
+        num_buckets=nb, **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6
+    )
+
+
+@pytest.mark.parametrize(
+    "variant",
+    [
+        {"concat_ua": True},
+        {"normalization": "softmax_rel_bias"},
+        {"linear_activation": "none"},
+        {"concat_ua": True, "normalization": "softmax_rel_bias"},
+    ],
+    ids=lambda v: "+".join(f"{k}={x}" for k, x in v.items()),
+)
+def test_fused_block_variants_match_xla(setup, variant):
+    """concat_ua / softmax / no-activation variants in the fused kernel."""
+    from rails_tpu.models.encoder import SequentialRecommender
+    from rails_tpu.train.loop import create_train_state
+
+    cfg, ds, _, _, batch = setup
+    cfg_v = cfg.replace(hstu=cfg.hstu.replace(**variant))
+    model_v = SequentialRecommender(cfg=cfg_v, num_items=ds.max_item_id)
+    _, state_v, _, _ = create_train_state(
+        cfg_v, ds.max_item_id, ds.all_item_ids, batch
+    )
+    ref = model_v.apply(
+        state_v.params, batch.features, method=model_v.encode_sequence
+    )
+    cfg_f = cfg_v.replace(hstu=cfg_v.hstu.replace(fused_inference=True))
+    model_f = SequentialRecommender(cfg=cfg_f, num_items=ds.max_item_id)
+    got = model_f.apply(
+        state_v.params, batch.features, method=model_f.encode_sequence
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5
+    )
