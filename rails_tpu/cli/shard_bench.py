@@ -110,17 +110,30 @@ def main(argv=None) -> None:
         return base + noise
 
     if "Fused" in args.method and x > 1_000_000:
-        # Chunked streaming build: only (chunk, D) temporaries on device.
-        from rails_tpu.index.top_k import build_fused_state_chunked
-
-        state_tk = build_fused_state_chunked(
-            model, params, ids,
-            embed_chunk_fn=lambda start, cids: embed_chunk(
-                jax.random.PRNGKey(start), cids
-            ),
-            table_dtype=jnp.bfloat16,
-            keep_on_host=True,
+        embed_fn = lambda start, cids: embed_chunk(  # noqa: E731
+            jax.random.PRNGKey(start), cids
         )
+        if item_parallel == 1:
+            # Single chip: accumulate the tables in HBM directly — the
+            # host-staged build costs a full corpus download+upload over
+            # the tunnel for nothing.
+            from rails_tpu.index.top_k import (
+                build_fused_state_chunked_on_device,
+            )
+
+            state_tk = build_fused_state_chunked_on_device(
+                model, params, ids, embed_chunk_fn=embed_fn,
+                table_dtype=jnp.bfloat16,
+            )
+        else:
+            # Chunked streaming build: only (chunk, D) temporaries on
+            # device; host staging feeds the sharded upload.
+            from rails_tpu.index.top_k import build_fused_state_chunked
+
+            state_tk = build_fused_state_chunked(
+                model, params, ids, embed_chunk_fn=embed_fn,
+                table_dtype=jnp.bfloat16, keep_on_host=True,
+            )
     else:
         item_emb = embed_chunk(jax.random.PRNGKey(0), ids)
         state_tk = build_mol_topk_state(

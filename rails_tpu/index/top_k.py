@@ -219,6 +219,79 @@ def build_fused_state_chunked(
     )
 
 
+def build_fused_state_chunked_on_device(
+    model,
+    params,
+    item_ids: jnp.ndarray,               # (X,) int32
+    embed_chunk_fn,                      # fn(start, ids_chunk) -> (C, D) emb
+    chunk_size: int = 262_144,
+    table_dtype: jnp.dtype = jnp.bfloat16,
+    fused_block_x: int = 256,
+) -> MoLTopKState:
+    """Device-resident chunked corpus build: no host round trips.
+
+    `build_fused_state_chunked` streams every chunk's tables to host numpy
+    (the right layout for a downstream multi-chip sharded upload), but on a
+    REMOTE-tunneled single chip that costs a full corpus download + upload
+    (~10 GB at 8M items). Here the kernel-layout tables accumulate directly
+    in HBM via donated `dynamic_update_slice` — peak device memory is the
+    final tables + one chunk, and the tunnel only ever carries item ids.
+    Use when the bf16 tables fit a single chip's HBM.
+    """
+    import functools as _ft
+
+    x = int(item_ids.shape[0])
+    xp = ((x + fused_block_x - 1) // fused_block_x) * fused_block_x
+    p_x = model.cfg.mol.item_dot_product_groups
+    d_p = model.cfg.mol.dot_product_dimension
+    l = model.cfg.mol.num_logits
+
+    from rails_tpu.ops.pallas.mol_scoring import (
+        FusedCorpusTables, m_major_perm,
+    )
+
+    perm = m_major_perm(l // p_x, p_x)
+
+    @_ft.partial(jax.jit, donate_argnums=(1, 2, 3))
+    def _insert(params, comp_buf, gp_buf, avg_buf, emb, start):
+        t = model.apply(params, emb, method=model.build_item_tables)
+        comp_t = jnp.transpose(
+            t.component_embeddings.astype(table_dtype), (1, 2, 0)
+        )
+        gp_t = t.gating_partial.astype(table_dtype).T[perm]
+        avg = t.component_embeddings.mean(axis=1).astype(table_dtype)
+        return (
+            jax.lax.dynamic_update_slice(comp_buf, comp_t, (0, 0, start)),
+            jax.lax.dynamic_update_slice(gp_buf, gp_t, (0, start)),
+            jax.lax.dynamic_update_slice(avg_buf, avg, (start, 0)),
+        )
+
+    comp_buf = jnp.zeros((p_x, d_p, xp), table_dtype)
+    gp_buf = jnp.zeros((l, xp), table_dtype)
+    avg_buf = jnp.zeros((xp, d_p), table_dtype)
+    for start in range(0, x, chunk_size):
+        end = min(start + chunk_size, x)
+        emb = embed_chunk_fn(start, item_ids[start:end])
+        comp_buf, gp_buf, avg_buf = _insert(
+            params, comp_buf, gp_buf, avg_buf, emb, jnp.int32(start)
+        )
+
+    ids = jnp.zeros((xp,), jnp.int32).at[:x].set(item_ids.astype(jnp.int32))
+    return MoLTopKState(
+        item_ids=ids,
+        item_tables=MoLItemTables(
+            component_embeddings=jnp.zeros((0, p_x, d_p), table_dtype),
+            gating_partial=None,
+        ),
+        avg_component=avg_buf,
+        fused_tables=FusedCorpusTables(
+            item_comp_t=comp_buf,
+            item_partial_t=gp_buf,
+            num_items=x,
+        ),
+    )
+
+
 # --------------------------------------------------------------------- #
 # Exact algorithms.
 # --------------------------------------------------------------------- #

@@ -284,3 +284,32 @@ class TestChunkedFusedBuilder:
             np.asarray(chunked.avg_component[:x]),
             np.asarray(ref.avg_component), rtol=1e-6, atol=1e-6,
         )
+
+    def test_on_device_builder_matches_host_builder(self, trained):
+        from rails_tpu.index.top_k import (
+            build_fused_state_chunked,
+            build_fused_state_chunked_on_device,
+        )
+
+        cfg, ds, model, params, batches = trained
+        ids = jnp.asarray(ds.all_item_ids, dtype=jnp.int32)
+        embed_fn = lambda s, cids: model.apply(  # noqa: E731
+            params, cids, method=model.get_item_embeddings
+        )
+        host = build_fused_state_chunked(
+            model, params, ids, embed_fn, chunk_size=77,
+            table_dtype=jnp.float32, fused_block_x=64,
+        )
+        dev = build_fused_state_chunked_on_device(
+            model, params, ids, embed_fn, chunk_size=77,
+            table_dtype=jnp.float32, fused_block_x=64,
+        )
+        for a, b in (
+            (host.fused_tables.item_comp_t, dev.fused_tables.item_comp_t),
+            (host.fused_tables.item_partial_t, dev.fused_tables.item_partial_t),
+            (host.avg_component, dev.avg_component),
+            (host.item_ids, dev.item_ids),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0, atol=0
+            )
