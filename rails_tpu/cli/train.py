@@ -26,11 +26,19 @@ from rails_tpu.core.config import (
 
 
 def apply_override(cfg: ExperimentConfig, dotted: str, raw_value: str) -> ExperimentConfig:
-    """Apply `section.field=value` (value parsed as a Python literal)."""
-    try:
-        value = ast.literal_eval(raw_value)
-    except (ValueError, SyntaxError):
-        value = raw_value
+    """Apply `section.field=value` (value parsed as a Python literal).
+
+    `true`/`false` (any case) parse as booleans: the Python spellings are
+    not the only ones users type, and the string "false" is truthy — a
+    silent inversion for every `--set x=false` before this special case."""
+    low = raw_value.strip().lower()
+    if low in ("true", "false"):
+        value = low == "true"
+    else:
+        try:
+            value = ast.literal_eval(raw_value)
+        except (ValueError, SyntaxError):
+            value = raw_value
     parts = dotted.split(".")
     def rec(obj, path):
         if len(path) == 1:

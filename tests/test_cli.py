@@ -112,3 +112,11 @@ def test_config_override_parsing():
     assert cfg.mol.uid_embedding_hash_sizes == (64,)
     cfg = apply_override(cfg, "model_type", "SASRec")
     assert cfg.model_type == "SASRec"
+    # Lowercase booleans must parse as booleans: the string "false" is
+    # truthy, which silently inverted every `--set x=false` before the fix.
+    cfg = apply_override(cfg, "train.shared_negatives", "true")
+    assert cfg.train.shared_negatives is True
+    cfg = apply_override(cfg, "train.shared_negatives", "false")
+    assert cfg.train.shared_negatives is False
+    cfg = apply_override(cfg, "hstu.fused_inference", "True")
+    assert cfg.hstu.fused_inference is True
