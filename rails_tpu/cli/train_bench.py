@@ -26,6 +26,8 @@ def main(argv=None) -> None:
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--remat", action="store_true",
                    help="activation-checkpoint the negatives scoring")
+    p.add_argument("--shared-negatives", action="store_true",
+                   help="one negative set per batch instead of per position")
     args = p.parse_args(argv)
 
     import jax
@@ -45,6 +47,8 @@ def main(argv=None) -> None:
             local_batch_size=args.batch_size,
             main_module_bf16=args.bf16 or cfg.train.main_module_bf16,
             loss_activation_checkpoint=args.remat,
+            shared_negatives=args.shared_negatives
+            or cfg.train.shared_negatives,
         ),
     )
     seqs = generate_synthetic_sequences(
