@@ -58,10 +58,13 @@ def run(batch_size: int) -> float:
         ),
     )
 
+    # Sequence lengths up to the full ML-20M cap (uniform 4..200; the real
+    # dataset's mean is ~145 of max 200) — short-sequence wins must be earned
+    # by the length-bucketed serving below, not by easy data.
     seqs = generate_synthetic_sequences(
         num_users=cfg.data.synthetic_num_users,
         num_items=num_items,
-        max_len=64,
+        max_len=200,
         seed=0,
     )
     train_ds = SequenceDataset(seqs, cfg.data.max_sequence_length, ignore_last_n=1)
@@ -70,14 +73,14 @@ def run(batch_size: int) -> float:
         train_ds.batches(
             batch_size=batch_size,
             max_output_length=cfg.train.gr_output_length + 1,
-            shuffle=True,
-            seed=1,
+            shuffle=False,
+            sort_by_length=True,
             drop_last=True,
         )
     ):
+        # ALL 12 epoch batches: with length-sorted batching, a prefix would
+        # silently drop the longest (most expensive) users.
         batches.append(b)
-        if len(batches) >= 10:
-            break
     batch = batches[0]
     all_item_ids = np.arange(1, num_items + 1, dtype=np.int32)
     model, state, _, _ = create_train_state(cfg, num_items, all_item_ids, batch)
@@ -87,26 +90,65 @@ def run(batch_size: int) -> float:
         model, params, all_item_ids, "MoLBruteForceTopKFused",
         table_dtype=jnp.bfloat16,
     )
-    step = make_eval_step(
-        model, es, k=120, filter_invalid_ids=True, truncate_k_prime_to=200,
+    from rails_tpu.train.evaluation import make_eval_step_fn
+
+    step_fn = make_eval_step_fn(
+        model, es.top_k_method, k=120, num_objects=es.num_objects,
+        filter_invalid_ids=True, truncate_k_prime_to=200,
     )
 
-    # Warmup (compile), then time DISTINCT batches with every result fetched
-    # to the host — identical repeated calls can be deduplicated and
-    # block_until_ready alone has proven unreliable through remote TPU
-    # tunnels. Take the best of 3 sweeps (the tunnel is shared; contention
-    # only ever inflates times).
-    for _ in range(3):
-        ranks, ids, scores = step(params, batch.features, batch.target_ids)
-    np.asarray(ranks)
+    # Length-bucketed serving: batches are length-sorted, each truncated to
+    # its own max length rounded to 64 (`truncate_features` — the dense
+    # counterpart of the reference's jagged skipping of padding; the
+    # reference never pays padding cost either, so this is parity of
+    # method, not an advantage). Batches sharing a padded length stack and
+    # run inside ONE jit via lax.scan: this environment dispatches each jit
+    # call through a remote tunnel at ~25 ms/call (a trivial 8x8 op costs
+    # the same as a full eval step), a harness artifact no real deployment
+    # pays — scanning amortizes it so the number measures the chip. Results
+    # are still host-fetched every sweep (dedup-safe; block_until_ready
+    # alone has proven unreliable through remote tunnels). Best of 3 sweeps
+    # (the tunnel is shared; contention only ever inflates times).
+    from rails_tpu.data.features import serving_pad_length, truncate_features
 
+    n_full = batch.features.ids.shape[1]
+    groups = {}
+    for b in batches:
+        n = min(n_full, serving_pad_length(int(b.features.lengths.max()), 64))
+        groups.setdefault(n, []).append(
+            (truncate_features(b.features, n), b.target_ids)
+        )
+
+    grouped = []
+    for n, items in sorted(groups.items()):
+        grouped.append((
+            jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *[f for f, _ in items]
+            ),
+            jnp.stack([t for _, t in items]),
+        ))
+
+    @jax.jit
+    def sweep_all(params, topk_state, item_emb, grouped, seed):
+        out = []
+        for feats, tgts in grouped:
+            def body(carry, xs):
+                f, t = xs
+                ranks, _, _ = step_fn(params, topk_state, item_emb, f, t)
+                return carry + jnp.max(ranks), ranks
+            seed, ranks = jax.lax.scan(body, seed, (feats, tgts))
+            out.append(ranks)
+        return out
+
+    args = (params, es.topk_state, es.item_embeddings, grouped)
+    np.asarray(sweep_all(*args, jnp.int32(0))[0])  # compile + warm
     runs = len(batches)
     best_dt = float("inf")
-    for _ in range(3):
+    for i in range(3):
+        # Distinct seed arg per sweep: defeats any (executable, args) result
+        # caching in the remote runtime.
         t0 = time.perf_counter()
-        outs = [step(params, b.features, b.target_ids) for b in batches]
-        for o in outs:
-            np.asarray(o[0])
+        np.asarray(sweep_all(*args, jnp.int32(i + 1))[0])
         best_dt = min(best_dt, (time.perf_counter() - t0) / runs)
     return batch_size / best_dt
 
@@ -115,12 +157,12 @@ def main() -> None:
     # The TPU is shared in this environment; fall back to smaller batches if
     # a run hits transient resource exhaustion.
     qps = None
-    for bs in (512, 128, 32):
-        try:
-            qps = run(bs)
+    for bs in (512, 512, 128, 32):    # the tunnel throws transient errors —
+        try:                          # retry the full size once before
+            qps = run(bs)             # shrinking
             break
         except Exception as e:                        # noqa: BLE001
-            print(f"# bench at batch={bs} failed ({type(e).__name__}); retrying smaller",
+            print(f"# bench at batch={bs} failed ({type(e).__name__}); retrying",
                   flush=True)
     if qps is None:
         raise SystemExit("bench failed at every batch size")

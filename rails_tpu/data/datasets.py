@@ -71,6 +71,13 @@ class SequenceDataset:
     def __len__(self) -> int:
         return len(self._valid_users)
 
+    def lengths_of(self, indices: np.ndarray) -> np.ndarray:
+        """History lengths (post-trim, pre-padding) for example indices —
+        cheap (offset arithmetic only), used for length-sorted batching."""
+        u = self._valid_users[np.asarray(indices)]
+        raw = np.diff(self._seqs.offsets)[u] - self._ignore_last_n - 1
+        return np.minimum(raw, self._max_seq_len).astype(np.int32)
+
     def rows(self, indices: np.ndarray):
         """Materialize fixed-shape host arrays for a batch of example indices.
 
@@ -133,14 +140,26 @@ class SequenceDataset:
         drop_last: bool = False,
         num_shards: int = 1,
         shard_index: int = 0,
+        sort_by_length: bool = False,
     ) -> Iterator[Batch]:
         """One epoch of device-ready batches.
 
         `num_shards`/`shard_index` mirror DistributedSampler
         (`/root/reference/trainer/data_loader.py:39-47`) for per-host sharding.
+
+        `sort_by_length` orders examples by sequence length (stable) so
+        batches are length-homogeneous — serve-time batches can then be
+        truncated to their own max length (`truncate_features`), the dense
+        counterpart of the reference's jagged skipping of padding. Mutually
+        exclusive with `shuffle`; every example still appears exactly once.
         """
         order = np.arange(len(self))
-        if shuffle:
+        if sort_by_length:
+            assert not shuffle, "sort_by_length requires shuffle=False"
+            order = order[
+                np.argsort(self.lengths_of(order), kind="stable")
+            ]
+        elif shuffle:
             np.random.default_rng(seed).shuffle(order)
         order = order[shard_index::num_shards]
         n_batches = len(order) // batch_size

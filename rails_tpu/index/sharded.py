@@ -157,7 +157,9 @@ def make_sharded_top_k_fn(
                     scores, k_local, recall_target=0.99
                 )
             else:
-                s_top, idx = jax.lax.top_k(scores, k_local)
+                from rails_tpu.index.top_k import chunked_top_k
+
+                s_top, idx = chunked_top_k(scores, k_local)
             res = TopKResult(scores=s_top, ids=state_l.item_ids[idx])
         elif top_k_method == "MoLBruteForceTopK":
             res = mol_brute_force_top_k(

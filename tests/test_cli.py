@@ -120,3 +120,21 @@ def test_config_override_parsing():
     assert cfg.train.shared_negatives is False
     cfg = apply_override(cfg, "hstu.fused_inference", "True")
     assert cfg.hstu.fused_inference is True
+
+
+def test_eval_cli_sort_by_length_matches_unsorted(capsys):
+    """--sort-by-length (length-bucketed truncated serving) must produce
+    identical metrics: ordering and padding length never change scores."""
+    from rails_tpu.cli.eval import main
+
+    argv = [
+        "--config", "synthetic-small", "--top-k-method", "MoLBruteForceTopK",
+        "--k", "50",
+    ] + TINY
+    main(argv)
+    base = capsys.readouterr().out.strip().splitlines()[-1]
+    main(argv + ["--sort-by-length"])
+    sorted_ = capsys.readouterr().out.strip().splitlines()[-1]
+    a = [float(v) for v in base.split(",")]
+    b = [float(v) for v in sorted_.split(",")]
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)

@@ -313,3 +313,29 @@ class TestChunkedFusedBuilder:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=0, atol=0
             )
+
+
+class TestChunkedTopK:
+    def test_matches_lax_top_k_with_ties(self):
+        from rails_tpu.index.top_k import chunked_top_k
+
+        rng = np.random.default_rng(7)
+        # Quantized scores force many exact ties across chunk boundaries.
+        s = jnp.asarray(
+            np.round(rng.standard_normal((16, 3001)) * 4) / 4, jnp.float32
+        )
+        for k, c in ((1, 32), (7, 32), (200, 32), (200, 7), (1500, 16)):
+            ve, ie = jax.lax.top_k(s, k)
+            vg, ig = chunked_top_k(s, k, target_chunks=c)
+            np.testing.assert_array_equal(np.asarray(vg), np.asarray(ve))
+            np.testing.assert_array_equal(np.asarray(ig), np.asarray(ie))
+
+    def test_small_x_falls_through(self):
+        from rails_tpu.index.top_k import chunked_top_k
+
+        rng = np.random.default_rng(8)
+        s = jnp.asarray(rng.standard_normal((4, 50)), jnp.float32)
+        ve, ie = jax.lax.top_k(s, 30)
+        vg, ig = chunked_top_k(s, 30)
+        np.testing.assert_array_equal(np.asarray(vg), np.asarray(ve))
+        np.testing.assert_array_equal(np.asarray(ig), np.asarray(ie))

@@ -157,3 +157,35 @@ def test_fused_block_variants_match_xla(setup, variant):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5
     )
+
+
+def test_fused_truncated_serving_matches_full(setup):
+    """Fused encode at a truncated padded length == fused at full padding
+    (length-bucketed serving correctness, internal time bias path)."""
+    from rails_tpu.data.features import serving_pad_length, truncate_features
+
+    import jax.numpy as jnp
+
+    cfg, ds, _, params, batch = setup
+    _, fused_model = _fused_model(cfg, ds)
+    f0 = batch.features
+    # Clip every sequence to <=12 events (consistently zeroing the tail) so
+    # truncation has headroom; both paths see the same clipped features.
+    clip = 12
+    keep = np.arange(f0.ids.shape[1])[None, :] < clip
+    feats = f0._replace(
+        lengths=jnp.minimum(f0.lengths, clip),
+        ids=jnp.where(keep, f0.ids, 0),
+        ratings=jnp.where(keep, f0.ratings, 0),
+        timestamps=jnp.where(
+            np.arange(f0.ids.shape[1])[None, :] <= clip, f0.timestamps, 0
+        ),
+    )
+    full = fused_model.apply(params, feats, method=fused_model.encode)
+    n = serving_pad_length(int(feats.lengths.max()), multiple=8)
+    assert n < feats.ids.shape[1]
+    short = truncate_features(feats, n)
+    got = fused_model.apply(params, short, method=fused_model.encode)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(full), rtol=2e-4, atol=2e-5
+    )
