@@ -28,6 +28,8 @@ def main(argv=None) -> None:
                    help="activation-checkpoint the negatives scoring")
     p.add_argument("--shared-negatives", action="store_true",
                    help="one negative set per batch instead of per position")
+    p.add_argument("--fused-train", action="store_true",
+                   help="fused forward+backward HSTU block kernels")
     args = p.parse_args(argv)
 
     import jax
@@ -51,6 +53,8 @@ def main(argv=None) -> None:
             or cfg.train.shared_negatives,
         ),
     )
+    if args.fused_train:
+        cfg = cfg.replace(hstu=cfg.hstu.replace(fused_train=True))
     seqs = generate_synthetic_sequences(
         num_users=cfg.data.synthetic_num_users, num_items=args.num_items,
         max_len=64, seed=0,

@@ -383,6 +383,58 @@ class HSTUStack(nn.Module):
         train: bool = False,
     ) -> jnp.ndarray:
         b, n, _ = x.shape
+        fused_train_ok = (
+            train
+            and self.cfg.fused_train
+            and self.cfg.linear_activation == "silu"
+            and self.cfg.normalization in ("rel_bias", "hstu_rel_bias")
+            and not self.cfg.concat_ua
+            and self.cfg.attn_dropout_rate == 0.0
+            and (
+                self.rel_attn_bias is None
+                or (timestamps is not None and timestamps.dtype == jnp.int32)
+            )
+        )
+        if fused_train_ok:
+            from rails_tpu.ops.pallas.hstu_block_train import (
+                make_fused_train_block,
+            )
+
+            colmask = valid.astype(jnp.float32)
+            if self.rel_attn_bias is not None:
+                pos_all = self.rel_attn_bias.pos_tables(n)      # (L, N, N)
+                tsw_all = self.rel_attn_bias.ts_tables128()     # (L, 128)
+                ext = jnp.concatenate(
+                    [timestamps, timestamps[:, n - 1 : n]], axis=1
+                )
+            else:
+                pos_all = tsw_all = ext = None
+            rate = self.cfg.linear_dropout_rate
+            if rate > 0.0:
+                seed0 = jax.random.randint(
+                    self.make_rng("dropout"), (), 0,
+                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
+                )
+            else:
+                seed0 = jnp.int32(0)
+            blk_fn = make_fused_train_block(
+                num_heads=self.cfg.num_heads, dqk=self.cfg.dqk,
+                dv=self.cfg.dv, inv_n=1.0 / self.max_seq_len,
+                eps=self.cfg.epsilon, dropout_rate=rate,
+                num_buckets=self.cfg.num_time_buckets,
+            )
+            for layer_idx, block in enumerate(self.blocks):
+                x = blk_fn(
+                    x, colmask,
+                    pos_all[layer_idx] if pos_all is not None else None,
+                    ext,
+                    tsw_all[layer_idx] if tsw_all is not None else None,
+                    block.uvqk.astype(self.dtype),
+                    block.o_kernel.astype(self.dtype),
+                    block.o_bias.astype(jnp.float32),
+                    seed0 + jnp.int32(layer_idx) * jnp.int32(1013904223),
+                )
+            return x * valid[..., None].astype(x.dtype)
         if self.cfg.fused_inference and not train:
             from rails_tpu.ops.pallas.hstu_block import fused_hstu_block
 
