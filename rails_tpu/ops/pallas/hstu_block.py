@@ -107,23 +107,27 @@ def _kernel(
     h = num_heads
     mm_dtype = uvqk_ref.dtype  # bf16 in the serving path, fp32 in fp32 tests
 
-    x2 = x_ref[...].reshape(g * n, d)                 # (G*N, D)
-    normed = _ln(x2.astype(jnp.float32), eps)
-    y = jnp.dot(
-        normed.astype(mm_dtype), uvqk_ref[...],
-        preferred_element_type=jnp.float32,
-    )                                                 # (G*N, F) fp32
-    if activation == "silu":
-        y = y * _sigmoid_tanh(y)                      # silu, tanh form
-    u = y[:, : h * dv]                                # fp32 (for gating)
-    # Attention operands drop to the matmul dtype; for the pointwise-SiLU
-    # attention the 1/N normalizer folds into v (softmax normalizes itself).
-    v = y[:, h * dv : 2 * h * dv]
-    if not softmax:
-        v = v * inv_n
-    v = v.astype(mm_dtype)
-    q = y[:, 2 * h * dv : 2 * h * dv + h * dqk].astype(mm_dtype)
-    k = y[:, 2 * h * dv + h * dqk :].astype(mm_dtype)
+    # Group-batched projection when D tiles the 128-lane dim exactly (the
+    # (G, N, D) -> (G*N, D) sublane collapse is only lowerable then);
+    # otherwise one matmul per user — same math, smaller MXU batches.
+    if d % 128 == 0:
+        x2 = x_ref[...].reshape(g * n, d)             # (G*N, D)
+        normed = _ln(x2.astype(jnp.float32), eps)
+        y = jnp.dot(
+            normed.astype(mm_dtype), uvqk_ref[...],
+            preferred_element_type=jnp.float32,
+        )                                             # (G*N, F) fp32
+        y_of = lambda gi: y[gi * n : (gi + 1) * n]    # noqa: E731
+    else:
+        ys = [
+            jnp.dot(
+                _ln(x_ref[gi].astype(jnp.float32), eps).astype(mm_dtype),
+                uvqk_ref[...],
+                preferred_element_type=jnp.float32,
+            )
+            for gi in range(group)
+        ]
+        y_of = lambda gi: ys[gi]                      # noqa: E731
 
     if mask_in_bias:
         # The caller folded causality + column validity into the bias as a
@@ -139,7 +143,19 @@ def _kernel(
     rsqrt_dqk = 1.0 / float(dqk) ** 0.5
 
     for gi in range(group):
-        sl = slice(gi * n, (gi + 1) * n)
+        y_g = y_of(gi)                                # (N, F) fp32
+        if activation == "silu":
+            y_g = y_g * _sigmoid_tanh(y_g)            # silu, tanh form
+        u = y_g[:, : h * dv]                          # fp32 (for gating)
+        # Attention operands drop to the matmul dtype; for the pointwise-
+        # SiLU attention the 1/N normalizer folds into v (softmax
+        # normalizes itself).
+        v = y_g[:, h * dv : 2 * h * dv]
+        if not softmax:
+            v = v * inv_n
+        v = v.astype(mm_dtype)
+        q = y_g[:, 2 * h * dv : 2 * h * dv + h * dqk].astype(mm_dtype)
+        k = y_g[:, 2 * h * dv + h * dqk :].astype(mm_dtype)
         if internal_bias:
             # Bucketized time-delta bias computed entirely in VMEM: no
             # (L, B, N, N) HBM bias tensor exists anywhere. delta(i, j) =
@@ -173,9 +189,9 @@ def _kernel(
             bias = bias_ref[gi].astype(jnp.float32) if has_bias else None
         attn_cols = []
         for head in range(h):
-            qh = q[sl, head * dqk : (head + 1) * dqk]
-            kh = k[sl, head * dqk : (head + 1) * dqk]
-            vh = v[sl, head * dv : (head + 1) * dv]
+            qh = q[:, head * dqk : (head + 1) * dqk]
+            kh = k[:, head * dqk : (head + 1) * dqk]
+            vh = v[:, head * dv : (head + 1) * dv]
             qk = jax.lax.dot_general(
                 qh, kh,
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -201,10 +217,10 @@ def _kernel(
         if concat_ua:
             a_ln = _ln(attn, eps)
             o_input = jnp.concatenate(
-                [u[sl], a_ln, u[sl] * a_ln], axis=1
+                [u, a_ln, u * a_ln], axis=1
             )                                         # (N, 3*h*dv)
         else:
-            o_input = u[sl] * _ln(attn, eps)
+            o_input = u * _ln(attn, eps)
         out = (
             jnp.dot(
                 o_input.astype(ow_ref.dtype), ow_ref[...],

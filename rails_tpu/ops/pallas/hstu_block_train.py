@@ -126,27 +126,41 @@ def _fwd_kernel(
     mm = uvqk_ref.dtype
     pid = pl.program_id(0)
 
-    x2 = x_ref[...].reshape(g * n, d)
-    n0 = _ln(x2.astype(jnp.float32), eps)
-    z = jnp.dot(n0.astype(mm), uvqk_ref[...],
-                preferred_element_type=jnp.float32)
-    y = z * _sigmoid_tanh(z)
-    u = y[:, : h * dv]
-    v = (y[:, h * dv : 2 * h * dv] * inv_n).astype(mm)
-    q = y[:, 2 * h * dv : 2 * h * dv + h * dqk].astype(mm)
-    k = y[:, 2 * h * dv + h * dqk :].astype(mm)
+    # Group-batched projection only when D tiles the 128-lane dim exactly
+    # (the (G, N, D) -> (G*N, D) sublane collapse is only lowerable then).
+    if d % 128 == 0:
+        x2 = x_ref[...].reshape(g * n, d)
+        n0 = _ln(x2.astype(jnp.float32), eps)
+        z = jnp.dot(n0.astype(mm), uvqk_ref[...],
+                    preferred_element_type=jnp.float32)
+        z_of = lambda gi: z[gi * n : (gi + 1) * n]    # noqa: E731
+    else:
+        zs = [
+            jnp.dot(
+                _ln(x_ref[gi].astype(jnp.float32), eps).astype(mm),
+                uvqk_ref[...],
+                preferred_element_type=jnp.float32,
+            )
+            for gi in range(group)
+        ]
+        z_of = lambda gi: zs[gi]                      # noqa: E731
 
     for gi in range(group):
-        sl = slice(gi * n, (gi + 1) * n)
+        y_g = z_of(gi)
+        y_g = y_g * _sigmoid_tanh(y_g)
+        u = y_g[:, : h * dv]
+        v = (y_g[:, h * dv : 2 * h * dv] * inv_n).astype(mm)
+        q = y_g[:, 2 * h * dv : 2 * h * dv + h * dqk].astype(mm)
+        k = y_g[:, 2 * h * dv + h * dqk :].astype(mm)
         bias = _compute_bias(
             relpos_ref, ext_ref, nxt_ref, tsw_ref, colmask_ref, gi, n,
             num_buckets, has_bias,
         )
         cols = []
         for head in range(h):
-            qh = q[sl, head * dqk : (head + 1) * dqk]
-            kh = k[sl, head * dqk : (head + 1) * dqk]
-            vh = v[sl, head * dv : (head + 1) * dv]
+            qh = q[:, head * dqk : (head + 1) * dqk]
+            kh = k[:, head * dqk : (head + 1) * dqk]
+            vh = v[:, head * dv : (head + 1) * dv]
             s_h = jax.lax.dot_general(
                 qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -154,7 +168,7 @@ def _fwd_kernel(
             a_h = (s_h * _sigmoid_tanh(s_h)).astype(mm)
             cols.append(jnp.dot(a_h, vh, preferred_element_type=jnp.float32))
         attn = jnp.concatenate(cols, axis=1)
-        o_in = u[sl] * _ln(attn, eps)
+        o_in = u * _ln(attn, eps)
         if rate > 0.0:
             o_in = o_in * _dropout_mask(
                 seed_ref[0, 0], pid, group, gi, n, h * dv, rate
