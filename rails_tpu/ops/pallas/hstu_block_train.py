@@ -100,12 +100,6 @@ def _dropout_mask(seed0, pid, group, gi, n, hdv, rate):
     return (bits31 >= thresh).astype(jnp.float32) * (1.0 / (1.0 - rate))
 
 
-def _silu_and_grad(z):
-    """(silu(z), silu'(z)) via the fast tanh-form sigmoid."""
-    s = _sigmoid_tanh(z)
-    return z * s, s * (1.0 + z * (1.0 - s))
-
-
 def _fwd_kernel(
     seed_ref,     # (1, 1) int32 SMEM
     x_ref,        # (G, N, D)
@@ -540,15 +534,16 @@ def make_fused_train_block(
 
         if rel_pos is not None:
             d_rel_pos = jnp.sum(dbias, axis=0).astype(rel_pos.dtype)
-            # d ts_w: chain the dense dbias into the bucket bins. The
-            # unrolled masked reductions fuse into one pass over dbias on
-            # TPU (measured ~1-2 ms at B=128; segment_sum's scatter took
-            # ~58 ms per layer).
+            # d ts_w: chain the dense dbias into the bucket bins with a
+            # one-hot einsum that XLA fuses into one pass over dbias
+            # (~2 ms at B=128; segment_sum's scatter took ~58 ms/layer).
+            # Clip exactly as the kernels do, so gradients land in the bins
+            # the forward actually read.
             delta = ext[:, 1:, None] - ext[:, None, :-1]
             fdelta = jnp.maximum(jnp.abs(delta), 1).astype(jnp.float32)
             bk = jnp.clip(
                 (jnp.log(fdelta) * (1.0 / 0.301)).astype(jnp.int32),
-                0, _LANES - 1,
+                0, min(num_buckets, _LANES - 1),
             )
             m = dbias.size
             d_tsw = jnp.einsum(

@@ -192,14 +192,17 @@ def test_fused_truncated_serving_matches_full(setup):
 
 
 class TestFusedTrain:
-    def _cfg(self, setup, rate=0.0):
+    def _cfg(self, setup, rate=0.0, **hstu_kw):
         cfg, ds, _, _, batch = setup
         cfg2 = cfg.replace(
-            hstu=cfg.hstu.replace(fused_train=True, linear_dropout_rate=rate)
+            hstu=cfg.hstu.replace(
+                fused_train=True, linear_dropout_rate=rate, **hstu_kw
+            )
         )
         return cfg2, ds, batch
 
-    def test_forward_and_grads_match_xla(self, setup):
+    @pytest.mark.parametrize("num_buckets", [128, 32])
+    def test_forward_and_grads_match_xla(self, setup, num_buckets):
         """fused_train (dropout 0) == XLA dense path: forward values and
         parameter gradients of a scalar loss."""
         import jax
@@ -208,7 +211,11 @@ class TestFusedTrain:
         from rails_tpu.models.encoder import SequentialRecommender
         from rails_tpu.train.loop import create_train_state
 
-        cfg_f, ds, batch = self._cfg(setup, rate=0.0)
+        # num_buckets=32 exercises the clip in the d_ts_w binning: gradient
+        # bins must match the bins the forward read.
+        cfg_f, ds, batch = self._cfg(
+            setup, rate=0.0, num_time_buckets=num_buckets
+        )
         cfg_d = cfg_f.replace(hstu=cfg_f.hstu.replace(fused_train=False))
         model_f = SequentialRecommender(cfg=cfg_f, num_items=ds.max_item_id)
         model_d = SequentialRecommender(cfg=cfg_d, num_items=ds.max_item_id)
