@@ -42,6 +42,11 @@ NEG_DUP = -32767.0
 # selection, so they can never displace real (even negative-scoring) items.
 NEG_PAD = -1.0e30
 
+# chunked_top_k falls back to plain lax.top_k beyond this row length: the
+# per-chunk-then-merge trade, a ~2x win at serving-corpus scale, inverts at
+# multi-million rows (measured, see chunked_top_k docstring).
+_CHUNK_MAX_X = 262_144
+
 
 def _mask_pad_rows(scores: jnp.ndarray, item_ids: jnp.ndarray) -> jnp.ndarray:
     """Mask scores of padding rows (item id 0) along the trailing corpus axis."""
@@ -304,16 +309,20 @@ def chunked_top_k(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k via per-chunk top-k + merge — ~2x `lax.top_k` on TPU.
 
-    XLA's TopK cost grows superlinearly with the row length; splitting the
-    corpus axis into C chunks, taking top-min(k, X/C) in each, and re-top-k
-    over the C*k candidates is measurably faster (27k items, k=200, v5e:
-    16.0 -> 9.7 ms/batch at C=32) and EXACT including tie order: candidates
-    concatenate chunk-major with per-chunk stable value order, so equal
-    values still resolve to the lowest corpus index. Columns pad with -inf
-    when C doesn't divide X; k > X/C simply lowers the per-chunk take.
+    Splitting the corpus axis into C chunks, taking top-min(k, X/C) in
+    each, and re-top-k over the C*k candidates is measurably faster at
+    serving-corpus scale (27k items, k=200, B=512, v5e: 16.0 -> 9.7
+    ms/batch at C=32) and EXACT including tie order: candidates concatenate
+    chunk-major with per-chunk stable value order, so equal values still
+    resolve to the lowest corpus index. Columns pad with -inf when C
+    doesn't divide X; k > X/C simply lowers the per-chunk take.
+
+    At multi-million-row lengths the trade inverts (B=32, X=8M: plain
+    165 ms vs chunked 346 ms in-jit same-window), so beyond _CHUNK_MAX_X
+    this falls back to plain `lax.top_k`.
     """
     b, x = scores.shape
-    if x <= 2 * k or x < 2 * target_chunks:
+    if x <= 2 * k or x < 2 * target_chunks or x > _CHUNK_MAX_X:
         return jax.lax.top_k(scores, min(k, x))
     c = min(target_chunks, x // k if x // k > 1 else 2)
     per = -(-x // c)                           # ceil
