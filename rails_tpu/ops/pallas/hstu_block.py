@@ -69,10 +69,12 @@ def _lane_gather(tbl_row: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     parts = [jnp.take_along_axis(tbl, idx[:, :_LANES], axis=1)]
     done = _LANES
     while done < c:
-        take = min(_LANES, c - done)
-        chunk = jnp.take_along_axis(tbl, idx[:, c - _LANES :], axis=1)
-        parts.append(chunk[:, _LANES - take :])
-        done += take
+        # Gather each chunk at its own offset; the final chunk overlaps the
+        # previous one (start backs up to c-128) and the overlap is sliced off.
+        start = min(done, c - _LANES)
+        chunk = jnp.take_along_axis(tbl, idx[:, start : start + _LANES], axis=1)
+        parts.append(chunk[:, done - start :])
+        done = start + _LANES
     return jnp.concatenate(parts, axis=1)
 
 

@@ -276,6 +276,10 @@ def _attn_bwd_kernel(
             ))
         if has_bias:
             dbias_ref[gi] = dbias_acc
+        else:
+            # Output must always be defined: the (B,1,1) dbias is discarded by
+            # the caller in this branch, but never leave it uninitialized.
+            dbias_ref[gi] = jnp.zeros_like(dbias_ref[gi])
         dy_out_ref[gi] = jnp.concatenate(
             [d_u]
             + [jnp.concatenate(d_v, axis=1) * inv_n]
@@ -566,7 +570,9 @@ def make_fused_train_block(
             d_tsw,
             dw.astype(uvqk.dtype),
             dwo.astype(o_kernel.dtype),
-            dbo.astype(o_kernel.dtype),
+            # o_bias is always passed fp32 (hstu.py casts it), so keep its
+            # cotangent fp32 — rounding to bf16 here loses precision for free.
+            dbo.astype(jnp.float32),
             np.zeros(seed.shape, f0),
         )
 

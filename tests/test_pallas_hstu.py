@@ -264,3 +264,19 @@ class TestFusedTrain:
         assert np.isfinite(float(metrics["loss"]))
         after = np.asarray(jax.tree_util.tree_leaves(state2.params)[0])
         assert np.any(before != after)
+
+
+@pytest.mark.parametrize("width", [100, 128, 256, 300, 384, 500])
+def test_lane_gather_wide_widths(width):
+    """_lane_gather must match a plain gather for index widths beyond 256.
+
+    Regression for the chunk loop previously gathering every chunk at the
+    tail offset (wrong output columns for widths > 256)."""
+    from rails_tpu.ops.pallas.hstu_block import _lane_gather
+
+    rng = np.random.default_rng(0)
+    tbl = jnp.asarray(rng.normal(size=(128,)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 128, size=(8, width)).astype(np.int32))
+    got = np.asarray(_lane_gather(tbl, idx))
+    want = np.asarray(tbl)[np.asarray(idx)]
+    np.testing.assert_array_equal(got, want)
