@@ -45,7 +45,12 @@ class PointwiseFFN(nn.Module):
             self.hidden_dim, dtype=self.dtype,
             kernel_init=nn.initializers.xavier_normal(), name="fc1",
         )(x)
-        y = jax.nn.relu(y) if self.activation == "relu" else jax.nn.gelu(y)
+        # torch.nn.GELU() (the reference, `sasrec.py:62`) is exact erf gelu.
+        y = (
+            jax.nn.relu(y)
+            if self.activation == "relu"
+            else jax.nn.gelu(y, approximate=False)
+        )
         y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
         y = nn.Dense(
             self.out_dim, dtype=self.dtype,

@@ -56,7 +56,9 @@ class GLU(nn.Module):
         )(x)
         lhs, rhs = jnp.split(y, 2, axis=-1)
         if self.activation == "gelu":
-            lhs = jax.nn.gelu(lhs)
+            # Exact (erf) gelu: torch's F.gelu default, used by the
+            # reference GeGLU (`layers.py:43`); jax defaults to tanh-approx.
+            lhs = jax.nn.gelu(lhs, approximate=False)
         elif self.activation == "silu":
             lhs = jax.nn.silu(lhs)
         else:

@@ -41,8 +41,10 @@ def _silu(x):
 
 
 def _gelu(x):
-    # tanh approximation (matches jax.nn.gelu default).
-    return 0.5 * x * (1.0 + np.tanh(np.sqrt(2.0 / np.pi) * (x + 0.044715 * x**3)))
+    # Exact erf form (matches torch F.gelu and the repo's GLU layers).
+    from scipy.special import erf
+
+    return 0.5 * x * (1.0 + erf(x / np.sqrt(2.0)))
 
 
 def _l2(x, eps=1e-6):
