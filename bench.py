@@ -11,12 +11,21 @@ environment the TPU sits behind a remote tunnel with ~20 ms per-call RTT,
 which at the reference's bs=32 would dominate (~1300 qps measured); per-chip
 serving throughput saturates at ~bs>=128.
 
+Sequence lengths are drawn from an ML-20M-shaped capped lognormal
+(`rails_tpu/data/datasets.py:ml20m_like_lengths`: median 68 / uncapped mean
+144.4 per the GroupLens ML-20M README, clamped to the 200 cap -> capped mean
+~92, ~19% at cap). Both the length-bucketed serving number (headline) and an
+unbucketed number (every batch padded to the full 211 slots — the
+conservative floor, what a no-bucketing deployment pays) are reported, plus
+achieved TFLOP/s and model FLOPs utilization against the v5e bf16 peak
+(197 TFLOP/s).
+
 Baseline anchor: the reference's verified exact-MoL ML-20M eval processes
 138496 users in 120 s on one CUDA GPU (`eval_from_checkpoint.py:33-36`),
 i.e. ~1154 queries/sec/GPU for the same composite path. `vs_baseline` is the
 ratio against that number.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
@@ -27,15 +36,52 @@ import time
 import numpy as np
 
 BASELINE_QPS = 138496.0 / 120.0   # reference exact-MoL eval throughput
+V5E_BF16_PEAK = 197e12            # TFLOP/s, one v5e chip
 
 
-def run(batch_size: int) -> float:
+def serving_flops_per_user(cfg, n: int, x: int) -> float:
+    """Analytic matmul FLOPs for one served user at padded length n against
+    an x-item corpus (encode + fused exact-MoL scoring; top-k selection and
+    elementwise work excluded — they are bandwidth-, not FLOP-, bound)."""
+    h_cfg = cfg.hstu
+    d = h_cfg.embedding_dim
+    h, dqk, dv = h_cfg.num_heads, h_cfg.dqk, h_cfg.dv
+    f_uvqk = 2 * h * dv + 2 * h * dqk
+    o_in = h * dv * (3 if h_cfg.concat_ua else 1)
+    enc_block = (
+        2 * n * d * f_uvqk                    # uvqk projection
+        + 2 * n * n * h * dqk                 # q @ k^T
+        + 2 * n * n * h * dv                  # attn @ v
+        + 2 * n * o_in * d                    # output projection
+    )
+    enc = h_cfg.num_blocks * enc_block
+
+    m = cfg.mol
+    l = m.num_logits
+    d_p = m.dot_product_dimension
+    # Query-side MLPs (per user, corpus-independent).
+    qh = max(m.query_hidden_dim, 0)
+    q_side = (
+        (2 * m.query_embedding_dim * 2 * qh + 2 * qh * m.query_proj_groups * d_p)
+        if qh > 0
+        else 2 * m.query_embedding_dim * m.query_proj_groups * d_p
+    )
+    q_side += 2 * m.query_embedding_dim * m.gating_query_hidden_dim
+    q_side += 2 * m.gating_query_hidden_dim * l
+    # Per-item scoring: component logits + the qi gating MLP.
+    gqih = max(m.gating_qi_hidden_dim, 0)
+    per_item = 2 * m.query_dot_product_groups * m.item_dot_product_groups * d_p
+    per_item += (2 * l * gqih + 2 * gqih * l) if gqih > 0 else 2 * l * l
+    return float(enc + q_side + x * per_item)
+
+
+def run(batch_size: int) -> dict:
     import jax
     import jax.numpy as jnp
 
     from rails_tpu.core.config import get_experiment_config
     from rails_tpu.data.datasets import generate_synthetic_sequences, SequenceDataset
-    from rails_tpu.train.evaluation import get_eval_state, make_eval_step
+    from rails_tpu.train.evaluation import get_eval_state
     from rails_tpu.train.loop import create_train_state
 
     num_items = 26744          # ML-20M unique-item count (SURVEY.md section 2)
@@ -58,14 +104,12 @@ def run(batch_size: int) -> float:
         ),
     )
 
-    # Sequence lengths up to the full ML-20M cap (uniform 4..200; the real
-    # dataset's mean is ~145 of max 200) — short-sequence wins must be earned
-    # by the length-bucketed serving below, not by easy data.
     seqs = generate_synthetic_sequences(
         num_users=cfg.data.synthetic_num_users,
         num_items=num_items,
         max_len=200,
         seed=0,
+        length_distribution="ml20m",
     )
     train_ds = SequenceDataset(seqs, cfg.data.max_sequence_length, ignore_last_n=1)
     batches = []
@@ -112,21 +156,27 @@ def run(batch_size: int) -> float:
     from rails_tpu.data.features import serving_pad_length, truncate_features
 
     n_full = batch.features.ids.shape[1]
-    groups = {}
-    for b in batches:
-        n = min(n_full, serving_pad_length(int(b.features.lengths.max()), 64))
-        groups.setdefault(n, []).append(
-            (truncate_features(b.features, n), b.target_ids)
-        )
 
-    grouped = []
-    for n, items in sorted(groups.items()):
-        grouped.append((
-            jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *[f for f, _ in items]
-            ),
-            jnp.stack([t for _, t in items]),
-        ))
+    def group_batches(bucketed: bool):
+        groups = {}
+        for b in batches:
+            n = (
+                min(n_full, serving_pad_length(int(b.features.lengths.max()), 64))
+                if bucketed
+                else n_full
+            )
+            groups.setdefault(n, []).append(
+                (truncate_features(b.features, n), b.target_ids)
+            )
+        out = []
+        for n, items in sorted(groups.items()):
+            out.append((
+                jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *[f for f, _ in items]
+                ),
+                jnp.stack([t for _, t in items]),
+            ))
+        return out
 
     @jax.jit
     def sweep_all(params, topk_state, item_emb, grouped, seed):
@@ -140,37 +190,68 @@ def run(batch_size: int) -> float:
             out.append(ranks)
         return out
 
-    args = (params, es.topk_state, es.item_embeddings, grouped)
-    np.asarray(sweep_all(*args, jnp.int32(0))[0])  # compile + warm
     runs = len(batches)
-    best_dt = float("inf")
-    for i in range(3):
-        # Distinct seed arg per sweep: defeats any (executable, args) result
-        # caching in the remote runtime.
-        t0 = time.perf_counter()
-        np.asarray(sweep_all(*args, jnp.int32(i + 1))[0])
-        best_dt = min(best_dt, (time.perf_counter() - t0) / runs)
-    return batch_size / best_dt
+
+    def time_sweep(grouped) -> float:
+        """Best-of-3 per-batch seconds for one full sweep over `grouped`."""
+        args = (params, es.topk_state, es.item_embeddings, grouped)
+        np.asarray(sweep_all(*args, jnp.int32(0))[0])  # compile + warm
+        best = float("inf")
+        for i in range(3):
+            # Distinct seed arg per sweep: defeats any (executable, args)
+            # result caching in the remote runtime.
+            t0 = time.perf_counter()
+            np.asarray(sweep_all(*args, jnp.int32(i + 1))[0])
+            best = min(best, (time.perf_counter() - t0) / runs)
+        return best
+
+    grouped_bucketed = group_batches(bucketed=True)
+    grouped_full = group_batches(bucketed=False)
+    dt_bucketed = time_sweep(grouped_bucketed)
+    dt_full = time_sweep(grouped_full)
+
+    # FLOPs accounting over the bucketed sweep (each group at its own padded
+    # length), for achieved TFLOP/s + MFU vs the v5e bf16 peak.
+    total_flops = 0.0
+    for feats, _ in grouped_bucketed:
+        n = int(feats.ids.shape[2])
+        n_batches_in_group = int(feats.ids.shape[0])
+        total_flops += (
+            n_batches_in_group * batch_size * serving_flops_per_user(cfg, n, num_items)
+        )
+    achieved = total_flops / (dt_bucketed * runs)
+
+    return {
+        "bucketed_qps": batch_size / dt_bucketed,
+        "unbucketed_qps": batch_size / dt_full,
+        "achieved_tflops": achieved / 1e12,
+        "mfu_pct": 100.0 * achieved / V5E_BF16_PEAK,
+    }
 
 
 def main() -> None:
     # The TPU is shared in this environment; fall back to smaller batches if
     # a run hits transient resource exhaustion.
-    qps = None
+    res = None
     for bs in (512, 512, 128, 32):    # the tunnel throws transient errors —
         try:                          # retry the full size once before
-            qps = run(bs)             # shrinking
+            res = run(bs)             # shrinking
             break
         except Exception as e:                        # noqa: BLE001
             print(f"# bench at batch={bs} failed ({type(e).__name__}); retrying",
                   flush=True)
-    if qps is None:
+    if res is None:
         raise SystemExit("bench failed at every batch size")
+    qps = res["bucketed_qps"]
     print(json.dumps({
         "metric": "exact_mol_top120_serving_qps_ml20m_scale",
         "value": round(qps, 2),
         "unit": "queries/sec/chip",
         "vs_baseline": round(qps / BASELINE_QPS, 3),
+        "unbucketed_qps": round(res["unbucketed_qps"], 2),
+        "achieved_tflops": round(res["achieved_tflops"], 2),
+        "mfu_pct": round(res["mfu_pct"], 2),
+        "length_distribution": "ml20m-lognormal(median68,mean144.4,cap200)",
     }))
 
 

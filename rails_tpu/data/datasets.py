@@ -254,6 +254,27 @@ def _subsample_events(
     )
 
 
+def ml20m_like_lengths(
+    rng: np.random.Generator, num_users: int, cap: int
+) -> np.ndarray:
+    """Sequence lengths shaped like ML-20M's ratings-per-user distribution.
+
+    Public facts (GroupLens ML-20M README): 20,000,263 ratings over 138,493
+    users -> uncapped mean 144.4, minimum 20 ratings/user; the per-user count
+    is heavy-tailed with median ~68. A lognormal with median 68 and mean
+    144.4 (sigma = sqrt(2 ln(mean/median)) = 1.227) reproduces those two
+    moments; clamped to [20, cap] like the dataset pipeline's
+    max_sequence_length truncation it yields mean ~92, ~19% of users at the
+    cap — i.e. the real data is SHORTER on average than a uniform 4..cap
+    draw (mean ~102), because the heavy tail sits above the cap while the
+    median sits well below it.
+    """
+    mu = np.log(68.0)
+    sigma = float(np.sqrt(2.0 * (np.log(144.4) - np.log(68.0))))
+    x = rng.lognormal(mu, sigma, size=num_users)
+    return np.clip(x, 20, cap).astype(np.int64)
+
+
 def generate_synthetic_sequences(
     num_users: int,
     num_items: int,
@@ -261,6 +282,7 @@ def generate_synthetic_sequences(
     seed: int = 0,
     num_clusters: int = 16,
     min_len: int = 4,
+    length_distribution: str = "uniform",
 ) -> RaggedSequences:
     """Clustered-preference Markov sequences with learnable structure.
 
@@ -268,11 +290,20 @@ def generate_synthetic_sequences(
     random-walk within the home cluster with occasional jumps, so both
     sequence context and the user id are predictive — exercising the HSTU
     encoder and the MoL uid components.
+
+    `length_distribution`: "uniform" draws min_len..max_len uniformly;
+    "ml20m" draws from the ML-20M-shaped capped lognormal
+    (`ml20m_like_lengths`).
     """
     rng = np.random.default_rng(seed)
     item_cluster = rng.integers(0, num_clusters, size=num_items)
     cluster_items = [np.nonzero(item_cluster == c)[0] + 1 for c in range(num_clusters)]
-    lengths = rng.integers(min_len, max_len + 1, size=num_users)
+    if length_distribution == "ml20m":
+        lengths = ml20m_like_lengths(rng, num_users, max_len)
+    elif length_distribution == "uniform":
+        lengths = rng.integers(min_len, max_len + 1, size=num_users)
+    else:
+        raise ValueError(f"Unknown length_distribution {length_distribution!r}")
     offsets = np.zeros(num_users + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
     total = int(offsets[-1])
