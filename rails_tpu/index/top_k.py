@@ -115,11 +115,12 @@ def build_mol_topk_state(
             item_comp_t=item_t, item_partial_t=ip_t, num_items=comp.shape[0]
         )
     if fused_only:
-        # Brute-force-fused-only serving: skip the standard-layout component
-        # table (it would double corpus memory). Only the fused brute-force
-        # algorithms work against such a state — Naive/Avg/Comb need the
-        # component table for rerank and assert loudly on the empty one.
-        # The avg table is kept (d_P per item, cheap) for future prefilters.
+        # Fused-only serving: skip the standard-layout component table (it
+        # would double corpus memory). All algorithms still work: the fused
+        # brute-force paths read the kernel layout directly, and
+        # Naive/Avg/Comb gather candidates from the transposed tables
+        # (`_gathered_candidate_tables` / `_component_chunk`).
+        # The avg table is kept (d_P per item, cheap) for the Avg prefilter.
         assert fused is not None, "fused_only requires build_fused=True"
         empty = MoLItemTables(
             component_embeddings=jnp.zeros(
@@ -449,6 +450,47 @@ def mips_brute_force_top_k(
 # Approximate algorithms: candidate generation + exact rerank.
 # --------------------------------------------------------------------- #
 
+# Streamed Naive candidate generation scans the corpus axis in chunks of this
+# size: peak memory is one (B, P_X, chunk) fp32 similarity block per query
+# group instead of the reference's (or a one-shot einsum's) full-corpus
+# tensor. Below this size the one-shot per-group einsum is used.
+_NAIVE_CORPUS_CHUNK = 131_072
+
+
+def _inv_m_major_perm(p_q: int, p_x: int):
+    """Rows of the kernel's m-major `item_partial_t` back in the model's
+    n-major logit order (inverse of `m_major_perm`)."""
+    import numpy as np
+
+    return np.asarray(
+        [m * p_q + n for n in range(p_q) for m in range(p_x)], dtype=np.int32
+    )
+
+
+def _gathered_candidate_tables(
+    state: MoLTopKState, idx: jnp.ndarray       # (B, K) corpus positions
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Per-query candidate tables ((B, K, P_X, d_P), (B, K, L)) gathered from
+    whichever layout the state holds — the standard (X, P_X, d_P) component
+    table, or the fused kernel layout ((P_X, d_P, Xp) / m-major (L, Xp))
+    when the state was built `fused_only`."""
+    it = state.item_tables
+    if it.component_embeddings.shape[0] > 0:
+        comp = jnp.take(it.component_embeddings, idx, axis=0)
+        gp = (
+            jnp.take(it.gating_partial, idx, axis=0)
+            if it.gating_partial is not None else None
+        )
+        return comp, gp
+    ft = state.fused_tables
+    assert ft is not None, "state holds neither standard nor fused tables"
+    comp = jnp.transpose(jnp.take(ft.item_comp_t, idx, axis=2), (2, 3, 0, 1))
+    p_x = ft.item_comp_t.shape[0]
+    l = ft.item_partial_t.shape[0]
+    inv = _inv_m_major_perm(l // p_x, p_x)
+    gp = jnp.transpose(jnp.take(ft.item_partial_t[inv], idx, axis=1), (1, 2, 0))
+    return comp, gp
+
 
 def _dedup_rerank_top_k(
     model, params, state: MoLTopKState,
@@ -469,9 +511,10 @@ def _dedup_rerank_top_k(
         ],
         axis=1,
     )
+    comp, gp = _gathered_candidate_tables(state, sorted_idx)
     scores = model.apply(
-        params, query_embeddings, state.item_tables, user_ids=user_ids,
-        item_indices=sorted_idx, method=model.score_precomputed,
+        params, query_embeddings, comp, gp, user_ids=user_ids,
+        method=model.score_gathered,
     )                                          # (B, C)
     scores = jnp.where(is_first, scores, NEG_DUP)
     scores = _mask_pad_rows(scores, state.item_ids[sorted_idx])
@@ -481,34 +524,122 @@ def _dedup_rerank_top_k(
     return TopKResult(scores=top_scores, ids=state.item_ids[top_idx])
 
 
+def _component_chunk(
+    state: MoLTopKState, start: jnp.ndarray, size: int
+) -> jnp.ndarray:
+    """(size, P_X, d_P) component-table slice from either layout."""
+    it = state.item_tables.component_embeddings
+    if it.shape[0] > 0:
+        return jax.lax.dynamic_slice_in_dim(it, start, size, axis=0)
+    ft = state.fused_tables
+    sl = jax.lax.dynamic_slice_in_dim(ft.item_comp_t, start, size, axis=2)
+    return jnp.transpose(sl, (2, 0, 1))
+
+
 def _naive_candidates(
     model, params, state: MoLTopKState,
     query_embeddings: jnp.ndarray,
     k_per_group: int,
     user_ids: Optional[jnp.ndarray],
+    corpus_chunk: int = _NAIVE_CORPUS_CHUNK,
 ) -> jnp.ndarray:
     """Per-(query-group, item-group) dot-product top-k_per_group union.
 
-    Reference: `MoLNaiveTopK.forward` non-FAISS branch (`mol_top_k.py:241-257`).
+    Reference: `MoLNaiveTopK.forward` non-FAISS branch (`mol_top_k.py:241-257`)
+    — which streams one (B*P_X, X) matmul per query group. Here each query
+    group materializes at most a (B, P_X, min(X, corpus_chunk)) block:
+    corpora beyond `corpus_chunk` stream through a `lax.scan` over corpus
+    chunks with per-chunk top-k + a cross-chunk merge (exact — per-chunk
+    winners cover every possible global winner). Works against standard and
+    `fused_only` (kernel-layout) states.
+
     Returns (B, P_Q * P_X * k_per_group) corpus positions. The per-group
     budget is clamped to the corpus size.
     """
-    assert state.item_tables.component_embeddings.shape[0] > 0, (
-        "state was built fused_only; Naive/Comb need the component table"
-    )
     q_comp = model.apply(
         params, query_embeddings, user_ids, method=model.query_components
     )                                          # (B, P_Q, d_P)
-    i_comp = state.item_tables.component_embeddings   # (X, P_X, d_P)
-    k_per_group = min(k_per_group, i_comp.shape[0])
-    sims = jnp.einsum(
-        "bnd,xmd->bnmx", q_comp.astype(i_comp.dtype), i_comp,
-        preferred_element_type=jnp.float32,
-    )                                          # (B, P_Q, P_X, X)
-    sims = _mask_pad_rows(sims, state.item_ids)   # pad rows don't eat budget
-    _, idx = jax.lax.top_k(sims, k_per_group)  # (B, P_Q, P_X, k)
-    b = query_embeddings.shape[0]
-    return idx.reshape(b, -1)
+    it = state.item_tables.component_embeddings
+    has_std = it.shape[0] > 0
+    if not has_std:
+        assert state.fused_tables is not None, (
+            "state holds neither standard nor fused component tables"
+        )
+    table_dtype = it.dtype if has_std else state.fused_tables.item_comp_t.dtype
+    q_comp = q_comp.astype(table_dtype)
+    b, p_q, _ = q_comp.shape
+    x = state.item_ids.shape[0]
+    k_per_group = min(k_per_group, x)
+
+    if x <= corpus_chunk:
+        comp = (
+            it if has_std
+            else jnp.transpose(state.fused_tables.item_comp_t, (2, 0, 1))[:x]
+        )
+        outs = []
+        for n in range(p_q):
+            sims = jnp.einsum(
+                "bd,xmd->bmx", q_comp[:, n], comp,
+                preferred_element_type=jnp.float32,
+            )                                  # (B, P_X, X)
+            sims = _mask_pad_rows(sims, state.item_ids)
+            _, idx = jax.lax.top_k(sims, k_per_group)
+            outs.append(idx.reshape(b, -1))
+        return jnp.concatenate(outs, axis=1)
+
+    # Streamed path: pad the corpus axis to a chunk multiple (pad rows carry
+    # id 0 and are masked out), then scan.
+    num_chunks = -(-x // corpus_chunk)
+    xp = num_chunks * corpus_chunk
+    ids_padded = (
+        jnp.pad(state.item_ids, (0, xp - x)) if xp != x else state.item_ids
+    )
+    kk = min(k_per_group, corpus_chunk)
+    starts = jnp.arange(num_chunks, dtype=jnp.int32) * corpus_chunk
+
+    pad_state = state
+    if xp != x:
+        if has_std:
+            pad_state = state._replace(
+                item_tables=state.item_tables._replace(
+                    component_embeddings=jnp.pad(
+                        it, ((0, xp - x), (0, 0), (0, 0))
+                    )
+                )
+            )
+        else:
+            ft = state.fused_tables
+            pad_state = state._replace(
+                fused_tables=ft._replace(
+                    item_comp_t=jnp.pad(
+                        ft.item_comp_t, ((0, 0), (0, 0), (0, xp - x))
+                    )
+                )
+            )
+
+    outs = []
+    for n in range(p_q):
+        q_n = q_comp[:, n]
+
+        def body(carry, start, q_n=q_n):
+            comp_c = _component_chunk(pad_state, start, corpus_chunk)
+            ids_c = jax.lax.dynamic_slice_in_dim(
+                ids_padded, start, corpus_chunk
+            )
+            sims = jnp.einsum(
+                "bd,cmd->bmc", q_n, comp_c, preferred_element_type=jnp.float32
+            )                                  # (B, P_X, C)
+            sims = jnp.where(ids_c[None, None, :] == 0, NEG_PAD, sims)
+            v, i = jax.lax.top_k(sims, kk)
+            return carry, (v, i + start)
+
+        _, (vs, is_) = jax.lax.scan(body, None, starts)
+        v_all = jnp.moveaxis(vs, 0, 2).reshape(b, vs.shape[2], num_chunks * kk)
+        i_all = jnp.moveaxis(is_, 0, 2).reshape(b, vs.shape[2], num_chunks * kk)
+        _, pos = jax.lax.top_k(v_all, k_per_group)
+        idx = jnp.take_along_axis(i_all, pos, axis=2)
+        outs.append(idx.reshape(b, -1))
+    return jnp.concatenate(outs, axis=1)
 
 
 def mol_naive_top_k(
@@ -517,9 +648,11 @@ def mol_naive_top_k(
     k: int,
     k_per_group: int,
     user_ids: Optional[jnp.ndarray] = None,
+    corpus_chunk: int = _NAIVE_CORPUS_CHUNK,
 ) -> TopKResult:
     cands = _naive_candidates(
-        model, params, state, query_embeddings, k_per_group, user_ids
+        model, params, state, query_embeddings, k_per_group, user_ids,
+        corpus_chunk=corpus_chunk,
     )
     return _dedup_rerank_top_k(
         model, params, state, query_embeddings, cands, k, user_ids
@@ -537,11 +670,10 @@ def mol_avg_top_k(
     (`MoLAvgTopK.forward`, `mol_top_k.py:328-396`). The four
     `jax.named_scope` phases mirror the reference's torch.profiler
     `record_function` scopes (`mol_top_k.py:350-371`) for trace tooling.
-    The prefilter budget is clamped to the corpus size.
+    The prefilter budget is clamped to the corpus size. Works against
+    standard and `fused_only` states (the avg table is kept in both; the
+    rerank gathers candidates from whichever layout is present).
     """
-    assert state.item_tables.component_embeddings.shape[0] > 0, (
-        "state was built fused_only; Avg needs the component table for rerank"
-    )
     avg_top_k = min(avg_top_k, state.item_ids.shape[0])
     q_comp = model.apply(
         params, query_embeddings, user_ids, method=model.query_components
@@ -556,9 +688,10 @@ def mol_avg_top_k(
     with jax.named_scope("avg_topk_selection"):
         _, cand = jax.lax.top_k(avg_scores, avg_top_k)   # (B, avg_top_k)
     with jax.named_scope("filtered_scoring"):
+        comp, gp = _gathered_candidate_tables(state, cand)
         scores = model.apply(
-            params, query_embeddings, state.item_tables, user_ids=user_ids,
-            item_indices=cand, method=model.score_precomputed,
+            params, query_embeddings, comp, gp, user_ids=user_ids,
+            method=model.score_gathered,
         )
         scores = _mask_pad_rows(scores, state.item_ids[cand])
     with jax.named_scope("final_topk"):
@@ -575,13 +708,15 @@ def mol_comb_top_k(
     avg_top_k: int,
     k_per_group: int,
     user_ids: Optional[jnp.ndarray] = None,
+    corpus_chunk: int = _NAIVE_CORPUS_CHUNK,
 ) -> TopKResult:
     """Union of Naive per-group and Avg candidates, one rerank
     (`MoLCombTopK.forward`, `mol_top_k.py:467-551`). Budgets clamp to the
-    corpus size."""
+    corpus size. Works against standard and `fused_only` states."""
     avg_top_k = min(avg_top_k, state.item_ids.shape[0])
     naive = _naive_candidates(
-        model, params, state, query_embeddings, k_per_group, user_ids
+        model, params, state, query_embeddings, k_per_group, user_ids,
+        corpus_chunk=corpus_chunk,
     )
     q_comp = model.apply(
         params, query_embeddings, user_ids, method=model.query_components

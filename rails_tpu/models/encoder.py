@@ -278,6 +278,18 @@ class SequentialRecommender(nn.Module):
             item_indices=item_indices,
         )
 
+    def score_gathered(
+        self,
+        query_embeddings: jnp.ndarray,
+        component_embeddings: jnp.ndarray,
+        gating_partial: Optional[jnp.ndarray],
+        user_ids: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        return self.similarity.score_gathered(
+            query_embeddings, component_embeddings, gating_partial,
+            user_ids=user_ids,
+        )
+
     def query_components(
         self,
         query_embeddings: jnp.ndarray,

@@ -351,6 +351,41 @@ class MoLSimilarity(nn.Module):
         )
         return scores, {**gate_aux, **q_aux}
 
+    def score_gathered(
+        self,
+        query_embeddings: jnp.ndarray,             # (B, D) raw encoder output
+        component_embeddings: jnp.ndarray,         # (B, K, P_X, d_P)
+        gating_partial: Optional[jnp.ndarray],     # (B, K, L) or None
+        user_ids: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Eval-time scoring of pre-gathered per-query candidate tables.
+
+        Like `score_precomputed(..., item_indices=...)` but the caller has
+        already gathered the (B, K, ...) candidate tables — used by the
+        top-k rerank against fused-layout corpus states whose tables are
+        stored transposed (`index/top_k.py`)."""
+        c = self.cfg
+        q_comp, _ = self.query_components(
+            query_embeddings, user_ids=user_ids, train=False
+        )
+        q_comp = q_comp.astype(self.dtype)
+        logits = jnp.einsum(
+            "bnd,bxmd->bxnm", q_comp,
+            component_embeddings.astype(self.dtype),
+            preferred_element_type=self.dtype,
+        )
+        b, k = component_embeddings.shape[:2]
+        logits = logits.reshape(b, k, c.num_logits) / c.temperature
+        query_partial = (
+            self.gating_query(query_embeddings, train=False)[:, None, :]
+            if self.gating_query is not None
+            else None
+        )
+        scores, _ = self._combine(
+            logits, query_partial, gating_partial, train=False
+        )
+        return scores
+
     def score_precomputed(
         self,
         query_embeddings: jnp.ndarray,             # (B, D) raw encoder output

@@ -127,6 +127,76 @@ class TestApproximateAlgorithms:
         )
         assert rec["recall@50"] >= 0.5  # tight prefilter still mostly right
 
+    @pytest.mark.parametrize(
+        "method", ["MoLAvgTopK300", "MoLNaiveTopK300", "MoLCombTopK300_300"]
+    )
+    def test_fused_only_state_full_budget_equals_brute_force(
+        self, trained, method
+    ):
+        """Naive/Avg/Comb against a `fused_only` (kernel-layout) state: the
+        gathered-table rerank (`top_k.py:_gathered_candidate_tables`) must
+        reproduce the standard-layout results exactly."""
+        cfg, ds, model, params, batches = trained
+        es_std = get_eval_state(
+            model, params, ds.all_item_ids, method, table_dtype=jnp.float32
+        )
+        fused_state = tk.build_mol_topk_state(
+            model, params, jnp.asarray(np.asarray(ds.all_item_ids)),
+            es_std.item_embeddings, table_dtype=jnp.float32,
+            build_fused=True, fused_only=True,
+        )
+        feats = batches[0].features
+        q = model.apply(params, feats, method=model.encode)
+        std = es_std.top_k_fn(q, 10, user_ids=feats.user_ids)
+        x = len(ds.all_item_ids)
+        if method.startswith("MoLAvg"):
+            fused = tk.mol_avg_top_k(
+                model, params, fused_state, q, 10, avg_top_k=300,
+                user_ids=feats.user_ids,
+            )
+        elif method.startswith("MoLNaive"):
+            fused = tk.mol_naive_top_k(
+                model, params, fused_state, q, 10, k_per_group=300,
+                user_ids=feats.user_ids,
+            )
+        else:
+            fused = tk.mol_comb_top_k(
+                model, params, fused_state, q, 10, avg_top_k=300,
+                k_per_group=300, user_ids=feats.user_ids,
+            )
+        np.testing.assert_allclose(
+            np.asarray(fused.scores), np.asarray(std.scores),
+            rtol=1e-4, atol=1e-4,
+        )
+
+    def test_streamed_naive_matches_one_shot(self, trained):
+        """Forcing a tiny corpus_chunk exercises the lax.scan streaming path;
+        candidates/results must match the one-shot einsum exactly."""
+        cfg, ds, model, params, batches = trained
+        es = get_eval_state(
+            model, params, ds.all_item_ids, "MoLBruteForceTopK",
+            table_dtype=jnp.float32,
+        )
+        feats = batches[0].features
+        q = model.apply(params, feats, method=model.encode)
+        one_shot = tk.mol_naive_top_k(
+            model, params, es.topk_state, q, 10, k_per_group=25,
+            user_ids=feats.user_ids,
+        )
+        streamed = tk.mol_naive_top_k(
+            model, params, es.topk_state, q, 10, k_per_group=25,
+            user_ids=feats.user_ids, corpus_chunk=64,
+        )
+        np.testing.assert_allclose(
+            np.asarray(streamed.scores), np.asarray(one_shot.scores),
+            rtol=1e-5, atol=1e-5,
+        )
+        # Same candidate sets modulo exact ties.
+        s, o = np.asarray(streamed.ids), np.asarray(one_shot.ids)
+        sc = np.asarray(one_shot.scores)
+        for b, j in zip(*np.nonzero(s != o)):
+            assert (np.abs(sc[b] - sc[b, j]) < 1e-5).sum() > 1
+
     def test_naive_dedup_no_duplicate_ids(self, trained):
         cfg, ds, model, params, batches = trained
         es = get_eval_state(

@@ -167,6 +167,9 @@ class _DotModel:
             return jnp.einsum("bd,bcd->bc", q, comp)
         return jnp.einsum("bd,xd->bx", q, comp)
 
+    def score_gathered(self, params, q, comp, gating_partial, user_ids=None):
+        return jnp.einsum("bd,bcd->bc", q, comp[:, :, 0, :])
+
     def query_components(self, params, q, user_ids=None):
         return q[:, None, :]
 
