@@ -249,8 +249,13 @@ class MeshConfig(_Base):
 
     data_axis: str = "data"
     item_axis: str = "item"
+    slice_axis: str = "slice"
     data_parallel: int = -1   # -1: all devices
     item_parallel: int = 1
+    # Multi-slice pods: an outermost pure-data-parallel axis over DCN
+    # (gradients all-reduce across slices once per step; the corpus and all
+    # within-slice collectives stay on ICI). 1 = single slice (2-D mesh).
+    num_slices: int = 1
 
 
 @dataclass(frozen=True)

@@ -78,9 +78,9 @@ def make_global_batch(batch, mesh):
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from rails_tpu.core.mesh import DATA_AXIS
+    from rails_tpu.core.mesh import batch_axes
 
-    sh = NamedSharding(mesh, P(DATA_AXIS))
+    sh = NamedSharding(mesh, P(batch_axes(mesh)))
 
     def put(x):
         x = np.asarray(x)
