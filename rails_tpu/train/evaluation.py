@@ -277,6 +277,60 @@ class LatencyStats:
     num_measurements: int
 
 
+def make_scanned_latency_fn(
+    model,
+    top_k_method: str,
+    k: int,
+    num_objects: int,
+    reps: int,
+    filter_invalid_ids: bool = True,
+    truncate_k_prime_to: Optional[int] = None,
+):
+    """`reps` repetitions of the retrieval call inside ONE jit (lax.scan).
+
+    The reference's timed region covers retrieval only — queries are encoded
+    once outside it ("computes ro- part exactly once", `data/eval.py:118-124`)
+    and the top-k call repeats (`data/eval.py:155-170`). On a tunneled TPU
+    every separate dispatch costs ~25 ms RTT, so per-call timing of sub-25 ms
+    retrieval measures the wire, not the chip; scanning the reps inside one
+    jit amortizes the dispatch to RTT/reps. Each rep perturbs the query
+    embeddings by rep_index * 1e-30 — numerically inert, but loop-varying so
+    XLA cannot hoist the body out of the loop.
+
+    Returns fn(params, topk_state, item_embeddings, features, target_ids)
+    -> (reps, B) ranks; wall-time divided by `reps` is the per-call latency.
+    """
+    from rails_tpu.index.factory import get_top_k_raw
+
+    raw = get_top_k_raw(top_k_method)
+
+    @jax.jit
+    def _timed(params, topk_state, item_embeddings,
+               features: SequentialFeatures, target_ids: jnp.ndarray):
+        queries0 = model.apply(params, features, method=model.encode)
+        n0 = features.ids.shape[1] if filter_invalid_ids else 0
+        k_prime = k_prime_for(k, num_objects, n0, truncate_k_prime_to)
+
+        def body(carry, i):
+            queries = queries0 + i.astype(queries0.dtype) * 1e-30
+            res = raw(
+                model, params, topk_state, queries, k_prime,
+                user_ids=features.user_ids, item_embeddings=item_embeddings,
+            )
+            k_eff = min(k, res.ids.shape[1])
+            res = select_top_k_with_invalid_filter(
+                res, features.ids if filter_invalid_ids else None, k_eff
+            )
+            return carry, ranks_from_top_k(res.ids, target_ids)
+
+        _, ranks = jax.lax.scan(
+            body, jnp.int32(0), jnp.arange(reps, dtype=jnp.int32)
+        )
+        return ranks
+
+    return _timed
+
+
 def eval_metrics_from_batches(
     model,
     params,
@@ -316,6 +370,7 @@ def eval_metrics_from_batches(
         k = min(k, 120)
         truncate_k_prime_to = 200 if truncate_k_prime_to is None else truncate_k_prime_to
     k = min(k, eval_state.num_objects)
+    step_override_for_timing = step
     if step is not None:
         pass
     elif step_fn is not None:
@@ -334,20 +389,41 @@ def eval_metrics_from_batches(
     all_metrics: Dict[str, List[np.ndarray]] = {}
     times: List[float] = []
     seen = 0
+    # Timed reps run inside ONE jit (scan) so dispatch/tunnel RTT amortizes
+    # to RTT/reps — a per-call loop of sub-25 ms retrievals would otherwise
+    # measure the wire on remote-tunneled backends. Falls back to per-call
+    # timing only for custom `step` overrides (no raw method to scan).
+    lat_fn = None
+    if include_eval_time and step_override_for_timing is None:
+        lat_fn = make_scanned_latency_fn(
+            model, eval_state.top_k_method, k, eval_state.num_objects,
+            reps=timed_runs, filter_invalid_ids=filter_invalid_ids,
+            truncate_k_prime_to=truncate_k_prime_to,
+        )
     for batch in batches:
         feats, target_ids = batch.features, batch.target_ids
         if include_eval_time and rng.random() < timing_fraction:
-            # The reference times repeated identical calls
-            # (`data/eval.py:140-170`); host-fetch every result, since remote
-            # backends can otherwise under-report completion.
-            for _ in range(warmup_runs):
-                r, _, _ = step(params, feats, target_ids)
-            np.asarray(r)
-            t0 = time.perf_counter()
-            rs = [step(params, feats, target_ids)[0] for _ in range(timed_runs)]
-            for r in rs:
+            if lat_fn is not None:
+                args = (
+                    params, eval_state.topk_state, eval_state.item_embeddings,
+                    feats, target_ids,
+                )
+                np.asarray(lat_fn(*args))          # compile + warm
+                t0 = time.perf_counter()
+                np.asarray(lat_fn(*args))
+                times.append((time.perf_counter() - t0) / timed_runs)
+            else:
+                for _ in range(warmup_runs):
+                    r, _, _ = step(params, feats, target_ids)
                 np.asarray(r)
-            times.append((time.perf_counter() - t0) / timed_runs)
+                t0 = time.perf_counter()
+                rs = [
+                    step(params, feats, target_ids)[0]
+                    for _ in range(timed_runs)
+                ]
+                for r in rs:
+                    np.asarray(r)
+                times.append((time.perf_counter() - t0) / timed_runs)
         ranks, _, _ = step(params, feats, target_ids)
         b = int(ranks.shape[0])
         valid = b if num_examples is None else max(0, min(b, num_examples - seen))

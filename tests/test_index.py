@@ -213,6 +213,29 @@ class TestApproximateAlgorithms:
             assert len(np.unique(kept)) == len(kept)
 
 
+class TestLatencyHarness:
+    def test_scanned_latency_stats(self, trained):
+        """include_eval_time uses the in-jit scanned reps
+        (`make_scanned_latency_fn`) — stats must come back finite and the
+        metrics must be unaffected by the timing pass."""
+        cfg, ds, model, params, batches = trained
+        es = get_eval_state(
+            model, params, ds.all_item_ids, "MoLBruteForceTopK",
+            table_dtype=jnp.float32,
+        )
+        m_timed, lat = eval_metrics_from_batches(
+            model, params, es, batches[:2], k=50,
+            include_eval_time=True, timing_fraction=1.0, timed_runs=4,
+        )
+        m_plain, no_lat = eval_metrics_from_batches(
+            model, params, es, batches[:2], k=50,
+        )
+        assert no_lat is None
+        assert lat is not None and lat.num_measurements == 2
+        assert np.isfinite(lat.mean_ms) and lat.mean_ms > 0
+        np.testing.assert_allclose(m_timed["hr@50"], m_plain["hr@50"])
+
+
 class TestInvalidFilter:
     def test_seen_ids_removed_in_order(self):
         ids = jnp.array([[5, 3, 9, 7, 1, 2]])
