@@ -146,11 +146,11 @@ class HSTUConfig(_Base):
     # (rails_tpu/ops/pallas/hstu_block.py).
     fused_inference: bool = False
     # Train with the fused forward+backward block kernels
-    # (rails_tpu/ops/pallas/hstu_block_train.py, custom VJP). Supported for
-    # silu + rel_bias + concat_ua=False + attn_dropout=0 (the published
-    # configs); other variants fall back to the XLA path. Dropout uses a
-    # deterministic counter-based hash stream instead of flax's PRNG — a
-    # different (equally valid) dropout realization.
+    # (rails_tpu/ops/pallas/hstu_block_train.py, custom VJP). Covers every
+    # block variant (silu/none, rel_bias/softmax_rel_bias, concat_ua,
+    # attention dropout). Dropout uses a deterministic counter-based hash
+    # stream instead of flax's PRNG — a different (equally valid) dropout
+    # realization.
     fused_train: bool = False
 
     def debug_str(self) -> str:

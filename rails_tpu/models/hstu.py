@@ -386,10 +386,6 @@ class HSTUStack(nn.Module):
         fused_train_ok = (
             train
             and self.cfg.fused_train
-            and self.cfg.linear_activation == "silu"
-            and self.cfg.normalization in ("rel_bias", "hstu_rel_bias")
-            and not self.cfg.concat_ua
-            and self.cfg.attn_dropout_rate == 0.0
             and (
                 self.rel_attn_bias is None
                 or (timestamps is not None and timestamps.dtype == jnp.int32)
@@ -410,7 +406,7 @@ class HSTUStack(nn.Module):
             else:
                 pos_all = tsw_all = ext = None
             rate = self.cfg.linear_dropout_rate
-            if rate > 0.0:
+            if rate > 0.0 or self.cfg.attn_dropout_rate > 0.0:
                 seed0 = jax.random.randint(
                     self.make_rng("dropout"), (), 0,
                     jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
@@ -422,6 +418,10 @@ class HSTUStack(nn.Module):
                 dv=self.cfg.dv, inv_n=1.0 / self.max_seq_len,
                 eps=self.cfg.epsilon, dropout_rate=rate,
                 num_buckets=self.cfg.num_time_buckets,
+                activation=self.cfg.linear_activation,
+                normalization=self.cfg.normalization,
+                concat_ua=self.cfg.concat_ua,
+                attn_dropout_rate=self.cfg.attn_dropout_rate,
             )
             for layer_idx, block in enumerate(self.blocks):
                 x = blk_fn(

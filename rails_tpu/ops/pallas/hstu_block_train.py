@@ -30,9 +30,12 @@ backward without an HBM mask tensor, and the same code runs under CPU
 interpret mode and as plain XLA ops. A different-but-valid dropout
 realization, not a numerics change.
 
-Supported config (the one every published RAILS experiment trains):
-linear_activation='silu', normalization='rel_bias'/'hstu_rel_bias',
-concat_ua=False, attn_dropout=0. Other configs keep the XLA path.
+Covers every HSTU block variant (matching the serving kernel): silu/none
+linear activation, rel_bias/softmax_rel_bias normalization, concat_ua, and
+attention dropout (the same counter-based hash stream as the linear dropout,
+salted per head; the reference stores `attn_dropout_ratio` but never applies
+it — `hstu.py:240` — while this framework honors it, see
+`models/hstu.py:202-208`).
 
 Reference semantics: `SequentialTransductionUnitJagged`
 (`/root/reference/modeling/sequential/hstu.py:218-433`).
@@ -55,16 +58,24 @@ from rails_tpu.ops.pallas.mol_scoring import _sigmoid_tanh
 
 def _compute_bias(
     relpos_ref, ext_ref, nxt_ref, tsw_ref, colmask_ref, gi, n,
-    num_buckets, has_bias,
+    num_buckets, has_bias, softmax=False,
 ):
-    """(N, N) fp32 bias incl. -30000 causal/validity penalty, in VMEM."""
+    """(N, N) fp32 bias, in VMEM. For the pointwise-SiLU attention the
+    -30000 causal/validity penalty folds in (silu saturates to exact 0);
+    softmax applies the mask AFTER normalization (masked columns still feed
+    the denominator — the reference's semantics, `hstu.py:391-392`), so the
+    raw bias returns together with a separate multiplicative mask."""
     row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     causal = (col <= row).astype(jnp.float32)
     colmask_g = colmask_ref[gi, 0][None, :].astype(jnp.float32)
-    penalty = (causal * colmask_g - 1.0) * 30000.0
+    mask = causal * colmask_g
+    if softmax:
+        penalty = None
+    else:
+        penalty = (mask - 1.0) * 30000.0
     if not has_bias:
-        return penalty
+        return (jnp.zeros((n, n), jnp.float32), mask) if softmax else (penalty, None)
     delta = nxt_ref[gi] - ext_ref[gi, 0, :n].reshape(1, n)
     fdelta = jnp.maximum(jnp.abs(delta), 1).astype(jnp.float32)
     bk = jnp.clip(
@@ -72,24 +83,23 @@ def _compute_bias(
         0,
         min(num_buckets, _LANES - 1),
     )
-    return relpos_ref[...] + _lane_gather(tsw_ref[0], bk) + penalty
+    bias = relpos_ref[...] + _lane_gather(tsw_ref[0], bk)
+    if softmax:
+        return bias, mask
+    return bias + penalty, None
 
 
-def _dropout_mask(seed0, pid, group, gi, n, hdv, rate):
-    """Deterministic per-(call, user, position) keep mask.
-
-    Counter-based murmur3-finalizer hash instead of the TPU hardware PRNG:
-    identical bits regenerate in the backward kernel (no mask in HBM), the
-    same code path runs under CPU interpret mode (pltpu.prng_* has no
-    interpret lowering), and the stream is a function of (seed, user,
-    position) only. int32 arithmetic wraps two's-complement under XLA."""
+def _hash_keep(seed_expr, rows, cols, rate):
+    """Deterministic keep mask from a murmur3-finalizer hash of
+    (seed_expr, flat position). Counter-based instead of the TPU hardware
+    PRNG: identical bits regenerate in the backward kernel (no mask in HBM),
+    the same code path runs under CPU interpret mode (pltpu.prng_* has no
+    interpret lowering). int32 arithmetic wraps two's-complement under XLA."""
     idx = (
-        jax.lax.broadcasted_iota(jnp.int32, (n, hdv), 0) * hdv
-        + jax.lax.broadcasted_iota(jnp.int32, (n, hdv), 1)
+        jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) * cols
+        + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
     )
-    h = idx * np.int32(-1640531535) + (                       # 0x9E3779B1
-        seed0 + (pid * group + gi) * np.int32(-1498392781)    # 0xA6AC5333
-    )
+    h = idx * np.int32(-1640531535) + seed_expr               # 0x9E3779B1
     h = h ^ jax.lax.shift_right_logical(h, 16)
     h = h * np.int32(-2048144789)                             # 0x85EBCA6B
     h = h ^ jax.lax.shift_right_logical(h, 13)
@@ -98,6 +108,25 @@ def _dropout_mask(seed0, pid, group, gi, n, hdv, rate):
     bits31 = h & np.int32(0x7FFFFFFF)                         # uniform 31-bit
     thresh = np.int32(min(int(rate * 2.0 ** 31), 2 ** 31 - 1))
     return (bits31 >= thresh).astype(jnp.float32) * (1.0 / (1.0 - rate))
+
+
+def _dropout_mask(seed0, pid, group, gi, n, width, rate):
+    """Per-(call, user, position) keep mask for the o_input dropout."""
+    return _hash_keep(
+        seed0 + (pid * group + gi) * np.int32(-1498392781),   # 0xA6AC5333
+        n, width, rate,
+    )
+
+
+def _attn_dropout_mask(seed0, pid, group, gi, head, n, rate):
+    """Per-(call, user, head) keep mask for attention-weight dropout —
+    a disjoint stream from the o_input mask (different salt constant)."""
+    return _hash_keep(
+        seed0
+        + (pid * group + gi) * np.int32(-1498392781)
+        + (head + 1) * np.int32(-1789569707),                 # 0x95555555
+        n, n, rate,
+    )
 
 
 def _fwd_kernel(
@@ -114,11 +143,13 @@ def _fwd_kernel(
     out_ref,      # (G, N, D)
     *,
     group, num_heads, dqk, dv, inv_n, eps, num_buckets, has_bias, rate,
+    activation, softmax, concat_ua, attn_rate,
 ):
     g, n, d = x_ref.shape
     h = num_heads
     mm = uvqk_ref.dtype
     pid = pl.program_id(0)
+    rsqrt_dqk = 1.0 / float(dqk) ** 0.5
 
     # Group-batched projection only when D tiles the 128-lane dim exactly
     # (the (G, N, D) -> (G*N, D) sublane collapse is only lowerable then).
@@ -141,14 +172,18 @@ def _fwd_kernel(
 
     for gi in range(group):
         y_g = z_of(gi)
-        y_g = y_g * _sigmoid_tanh(y_g)
+        if activation == "silu":
+            y_g = y_g * _sigmoid_tanh(y_g)
         u = y_g[:, : h * dv]
-        v = (y_g[:, h * dv : 2 * h * dv] * inv_n).astype(mm)
+        v = y_g[:, h * dv : 2 * h * dv]
+        if not softmax:
+            v = v * inv_n            # softmax normalizes itself
+        v = v.astype(mm)
         q = y_g[:, 2 * h * dv : 2 * h * dv + h * dqk].astype(mm)
         k = y_g[:, 2 * h * dv + h * dqk :].astype(mm)
-        bias = _compute_bias(
+        bias, mask = _compute_bias(
             relpos_ref, ext_ref, nxt_ref, tsw_ref, colmask_ref, gi, n,
-            num_buckets, has_bias,
+            num_buckets, has_bias, softmax=softmax,
         )
         cols = []
         for head in range(h):
@@ -159,13 +194,29 @@ def _fwd_kernel(
                 qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) + bias
-            a_h = (s_h * _sigmoid_tanh(s_h)).astype(mm)
-            cols.append(jnp.dot(a_h, vh, preferred_element_type=jnp.float32))
+            if softmax:
+                p = s_h * rsqrt_dqk
+                p = p - jnp.max(p, axis=1, keepdims=True)
+                e = jnp.exp(p)
+                a_h = (e / jnp.sum(e, axis=1, keepdims=True)) * mask
+            else:
+                a_h = s_h * _sigmoid_tanh(s_h)
+            if attn_rate > 0.0:
+                a_h = a_h * _attn_dropout_mask(
+                    seed_ref[0, 0], pid, group, gi, head, n, attn_rate
+                )
+            cols.append(jnp.dot(
+                a_h.astype(mm), vh, preferred_element_type=jnp.float32
+            ))
         attn = jnp.concatenate(cols, axis=1)
-        o_in = u * _ln(attn, eps)
+        gln = _ln(attn, eps)
+        if concat_ua:
+            o_in = jnp.concatenate([u, gln, u * gln], axis=1)
+        else:
+            o_in = u * gln
         if rate > 0.0:
             o_in = o_in * _dropout_mask(
-                seed_ref[0, 0], pid, group, gi, n, h * dv, rate
+                seed_ref[0, 0], pid, group, gi, n, o_in.shape[1], rate
             )
         out = (
             jnp.dot(o_in.astype(ow_ref.dtype), ow_ref[...],
@@ -190,8 +241,9 @@ def _ln_bwd(a, dn, eps):
 
 
 def _attn_bwd_kernel(
-    y_ref,        # (G, N, F) mm — recomputed silu(LN(x) @ W) from XLA
-    doin_ref,     # (G, N, h*dv) mm — dy @ Wo^T (dropout mask pre-applied)
+    seed_ref,     # (1, 1) int32 SMEM (attn-dropout mask regeneration)
+    y_ref,        # (G, N, F) mm — recomputed (post-activation) LN(x) @ W
+    doin_ref,     # (G, N, o_width) mm — dy @ Wo^T (o_in dropout pre-applied)
     colmask_ref,  # (G, 1, N)
     relpos_ref, ext_ref, nxt_ref, tsw_ref,
     dy_out_ref,   # (G, N, F) f32 — d(y): [d_u, d_v0, d_q, d_k]
@@ -199,6 +251,7 @@ def _attn_bwd_kernel(
     dbias_ref,    # (G, N, N) f32 (or (G, 1, 1) when not has_bias)
     *,
     group, num_heads, dqk, dv, inv_n, eps, num_buckets, has_bias,
+    softmax, concat_ua, attn_rate,
 ):
     """Attention-core backward: ONLY the part XLA handles badly.
 
@@ -212,34 +265,67 @@ def _attn_bwd_kernel(
     h = num_heads
     mm = y_ref.dtype
     hdv = h * dv
+    pid = pl.program_id(0)
+    rsqrt_dqk = 1.0 / float(dqk) ** 0.5
 
     for gi in range(group):
         y_g = y_ref[gi]                                      # (N, F) mm
         u = y_g[:, :hdv].astype(jnp.float32)
-        v = (y_g[:, hdv : 2 * hdv].astype(jnp.float32) * inv_n).astype(mm)
+        v = y_g[:, hdv : 2 * hdv].astype(jnp.float32)
+        if not softmax:
+            v = v * inv_n
+        v = v.astype(mm)
         q = y_g[:, 2 * hdv : 2 * hdv + h * dqk]
         k = y_g[:, 2 * hdv + h * dqk :]
-        bias = _compute_bias(
+        bias, mask = _compute_bias(
             relpos_ref, ext_ref, nxt_ref, tsw_ref, colmask_ref, gi, n,
-            num_buckets, has_bias,
+            num_buckets, has_bias, softmax=softmax,
         )
-        cols = []
-        for head in range(h):
+
+        def head_attn(head):
+            """Recompute (s_h, final attention weights a_h) for one head."""
             qh = q[:, head * dqk : (head + 1) * dqk]
             kh = k[:, head * dqk : (head + 1) * dqk]
-            vh = v[:, head * dv : (head + 1) * dv]
             s_h = jax.lax.dot_general(
                 qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) + bias
-            a_h = (s_h * _sigmoid_tanh(s_h)).astype(mm)
-            cols.append(jnp.dot(a_h, vh, preferred_element_type=jnp.float32))
+            if softmax:
+                t = s_h * rsqrt_dqk
+                t = t - jnp.max(t, axis=1, keepdims=True)
+                e = jnp.exp(t)
+                p = e / jnp.sum(e, axis=1, keepdims=True)
+                a_h = p * mask
+            else:
+                p = None
+                a_h = s_h * _sigmoid_tanh(s_h)
+            if attn_rate > 0.0:
+                dmask = _attn_dropout_mask(
+                    seed_ref[0, 0], pid, group, gi, head, n, attn_rate
+                )
+                a_h = a_h * dmask
+            else:
+                dmask = None
+            return qh, kh, s_h, p, a_h, dmask
+
+        cols = []
+        for head in range(h):
+            _, _, _, _, a_h, _ = head_attn(head)
+            vh = v[:, head * dv : (head + 1) * dv]
+            cols.append(jnp.dot(
+                a_h.astype(mm), vh, preferred_element_type=jnp.float32
+            ))
         attn = jnp.concatenate(cols, axis=1)                 # (N, h*dv) f32
         attn_ref[gi] = attn
         gln = _ln(attn, eps)
         d_o = doin_ref[gi].astype(jnp.float32)
-        d_u = d_o * gln
-        d_gln = d_o * u
+        if concat_ua:
+            # o_in = [u, gln, u*gln]
+            d_u = d_o[:, :hdv] + d_o[:, 2 * hdv :] * gln
+            d_gln = d_o[:, hdv : 2 * hdv] + d_o[:, 2 * hdv :] * u
+        else:
+            d_u = d_o * gln
+            d_gln = d_o * u
         d_attn = _ln_bwd(attn, d_gln, eps)                   # (N, h*dv)
 
         dbias_acc = jnp.zeros((n, n), jnp.float32)
@@ -247,25 +333,27 @@ def _attn_bwd_kernel(
         d_k = []
         d_v = []
         for head in range(h):
-            qh = q[:, head * dqk : (head + 1) * dqk]
-            kh = k[:, head * dqk : (head + 1) * dqk]
+            qh, kh, s_h, p, a_h, dmask = head_attn(head)
             vh = v[:, head * dv : (head + 1) * dv]
-            s_h = jax.lax.dot_general(
-                qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) + bias
-            sig = _sigmoid_tanh(s_h)
-            a_h = (s_h * sig).astype(mm)
             d_attn_h = d_attn[:, head * dv : (head + 1) * dv].astype(mm)
             d_a = jax.lax.dot_general(
                 d_attn_h, vh, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                               # (N, N)
             d_v.append(jax.lax.dot_general(
-                a_h, d_attn_h, dimension_numbers=(((0,), (0,)), ((), ())),
+                a_h.astype(mm), d_attn_h,
+                dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ))                                              # (N, dv)
-            d_s = d_a * (sig * (1.0 + s_h * (1.0 - sig)))   # (N, N) f32
+            if dmask is not None:
+                d_a = d_a * dmask
+            if softmax:
+                d_p = d_a * mask
+                d_t = p * (d_p - jnp.sum(d_p * p, axis=1, keepdims=True))
+                d_s = d_t * rsqrt_dqk
+            else:
+                sig = _sigmoid_tanh(s_h)
+                d_s = d_a * (sig * (1.0 + s_h * (1.0 - sig)))
             dbias_acc = dbias_acc + d_s
             d_s_mm = d_s.astype(mm)
             d_q.append(jnp.dot(d_s_mm, kh,
@@ -280,18 +368,21 @@ def _attn_bwd_kernel(
             # Output must always be defined: the (B,1,1) dbias is discarded by
             # the caller in this branch, but never leave it uninitialized.
             dbias_ref[gi] = jnp.zeros_like(dbias_ref[gi])
+        d_v_cat = jnp.concatenate(d_v, axis=1)
+        if not softmax:
+            d_v_cat = d_v_cat * inv_n
         dy_out_ref[gi] = jnp.concatenate(
-            [d_u]
-            + [jnp.concatenate(d_v, axis=1) * inv_n]
-            + [jnp.concatenate(d_q, axis=1)]
-            + [jnp.concatenate(d_k, axis=1)],
+            [d_u, d_v_cat,
+             jnp.concatenate(d_q, axis=1),
+             jnp.concatenate(d_k, axis=1)],
             axis=1,
         )                                                   # (N, F) f32
 
 
-def _dropout_mask_batch(seed0, b, n, hdv, rate):
-    """The kernel's per-user hash mask, batched in XLA for the backward
-    (same bits: user index = batch index)."""
+def _dropout_mask_batch(seed0, b, n, width, rate):
+    """The kernel's per-user o_input hash mask, batched in XLA for the
+    backward (same bits: user index = batch index)."""
+    hdv = width
     idx = (
         jax.lax.broadcasted_iota(jnp.int32, (b, n, hdv), 1) * hdv
         + jax.lax.broadcasted_iota(jnp.int32, (b, n, hdv), 2)
@@ -361,16 +452,26 @@ def make_fused_train_block(
     num_buckets: int,
     interpret: Optional[bool] = None,
     block_users: Optional[int] = None,
+    activation: str = "silu",
+    normalization: str = "rel_bias",
+    concat_ua: bool = False,
+    attn_dropout_rate: float = 0.0,
 ):
     """Returns fn(x, colmask, rel_pos, ext, tsw128, uvqk, o_kernel, o_bias,
     seed) -> (B, N, D), differentiable w.r.t. x / rel_pos / tsw128 / uvqk /
     o_kernel / o_bias via the backward kernel. `rel_pos`/`tsw128` may be
-    None (bias disabled). `seed` is a scalar int32 for the dropout PRNG."""
+    None (bias disabled). `seed` is a scalar int32 for the dropout PRNG.
+    Covers every block variant (silu/none, rel_bias/softmax_rel_bias,
+    concat_ua, attention dropout) — mirroring the serving kernel."""
     from rails_tpu.ops.pallas.hstu_block import _pick_group
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    assert activation in ("silu", "none"), activation
+    assert normalization in ("rel_bias", "hstu_rel_bias", "softmax_rel_bias")
+    softmax = normalization == "softmax_rel_bias"
     hdv = num_heads * dv
+    o_width = hdv * (3 if concat_ua else 1)
 
     def _pick_group_bwd(b, n, f, itemsize):
         # Per user in the group: the y input block (itemsize), the f32 d_y
@@ -408,8 +509,10 @@ def make_fused_train_block(
             _fwd_kernel, group=group, num_heads=num_heads, dqk=dqk, dv=dv,
             inv_n=inv_n, eps=eps, num_buckets=num_buckets,
             has_bias=has_bias, rate=dropout_rate,
+            activation=activation, softmax=softmax, concat_ua=concat_ua,
+            attn_rate=attn_dropout_rate,
         )
-        specs = _specs(group, n, d, f, hdv, has_bias, n + 1)
+        specs = _specs(group, n, d, f, o_width, has_bias, n + 1)
         return pl.pallas_call(
             kernel,
             grid=(b // group,),
@@ -426,7 +529,7 @@ def make_fused_train_block(
             rel_pos_, ext3, nxt, tsw_, uvqk, o_kernel, o_bias[None, :],
         )
 
-    def attn_backward(y_mm, d_o_in, colmask, rel_pos, ext, tsw128):
+    def attn_backward(y_mm, d_o_in, colmask, rel_pos, ext, tsw128, seed):
         b, n, f = y_mm.shape
         has_bias, rel_pos_, ext3, nxt, tsw_ = _prep(
             jnp.zeros((b, n, 1), y_mm.dtype), rel_pos, ext, tsw128
@@ -435,13 +538,14 @@ def make_fused_train_block(
         kernel = functools.partial(
             _attn_bwd_kernel, group=group, num_heads=num_heads, dqk=dqk,
             dv=dv, inv_n=inv_n, eps=eps, num_buckets=num_buckets,
-            has_bias=has_bias,
+            has_bias=has_bias, softmax=softmax, concat_ua=concat_ua,
+            attn_rate=attn_dropout_rate,
         )
-        (_, _, cm_spec, relpos, ext_s, nxt_s, tsw_s, _, _,
+        (seed_spec, _, cm_spec, relpos, ext_s, nxt_s, tsw_s, _, _,
          _) = _specs(group, n, 1, f, hdv, has_bias, n + 1)
         y_spec = pl.BlockSpec((group, n, f), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
-        doin_spec = pl.BlockSpec((group, n, hdv), lambda i: (i, 0, 0),
+        doin_spec = pl.BlockSpec((group, n, o_width), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
         dbias_block = (group, n, n) if has_bias else (group, 1, 1)
         dbias_shape = (b, n, n) if has_bias else (b, 1, 1)
@@ -461,15 +565,18 @@ def make_fused_train_block(
         return pl.pallas_call(
             kernel,
             grid=(b // group,),
-            in_specs=[y_spec, doin_spec, cm_spec, relpos, ext_s, nxt_s,
-                      tsw_s],
+            in_specs=[seed_spec, y_spec, doin_spec, cm_spec, relpos, ext_s,
+                      nxt_s, tsw_s],
             out_specs=out_specs,
             out_shape=out_shapes,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel",),
             ),
             interpret=interpret,
-        )(y_mm, d_o_in, colmask[:, None, :], rel_pos_, ext3, nxt, tsw_)
+        )(
+            seed.reshape(1, 1).astype(jnp.int32), y_mm, d_o_in,
+            colmask[:, None, :], rel_pos_, ext3, nxt, tsw_,
+        )
 
     @jax.custom_vjp
     def block(x, colmask, rel_pos, ext, tsw128, uvqk, o_kernel, o_bias,
@@ -496,26 +603,35 @@ def make_fused_train_block(
             "bnd,df->bnf", n0.astype(mm), uvqk,
             preferred_element_type=jnp.float32,
         )
-        sig = _sigmoid_tanh(z)
-        y = z * sig                                    # silu(z), f32
+        if activation == "silu":
+            sig = _sigmoid_tanh(z)
+            y = z * sig                                # silu(z), f32
+        else:
+            sig = None
+            y = z
         d_o_in = jnp.einsum(
             "bnd,fd->bnf", dy.astype(mm), o_kernel,
             preferred_element_type=jnp.float32,
-        )                                              # (B, N, h*dv)
+        )                                              # (B, N, o_width)
         if dropout_rate > 0.0:
             mask = _dropout_mask_batch(
-                seed.astype(jnp.int32), b, n, hdv, dropout_rate
+                seed.astype(jnp.int32), b, n, o_width, dropout_rate
             )
             d_o_in = d_o_in * mask
 
         # ---- attention-core kernel: d_y / attn / dbias ----
         d_y, attn, dbias = attn_backward(
-            y.astype(mm), d_o_in.astype(mm), colmask, rel_pos, ext, tsw128
+            y.astype(mm), d_o_in.astype(mm), colmask, rel_pos, ext, tsw128,
+            seed,
         )
 
         # ---- output-projection grads from the recomputed o_in ----
         gln = _ln(attn, eps)
-        o_in = y[..., :hdv] * gln
+        if concat_ua:
+            u32 = y[..., :hdv]
+            o_in = jnp.concatenate([u32, gln, u32 * gln], axis=-1)
+        else:
+            o_in = y[..., :hdv] * gln
         if dropout_rate > 0.0:
             o_in = o_in * mask
         dwo = jnp.einsum(
@@ -525,7 +641,10 @@ def make_fused_train_block(
         dbo = jnp.sum(dy32, axis=(0, 1))
 
         # ---- projection backward ----
-        d_z = d_y * (sig * (1.0 + z * (1.0 - sig)))
+        if activation == "silu":
+            d_z = d_y * (sig * (1.0 + z * (1.0 - sig)))
+        else:
+            d_z = d_y
         dw = jnp.einsum(
             "bnd,bnf->df", n0.astype(mm), d_z.astype(mm),
             preferred_element_type=jnp.float32,

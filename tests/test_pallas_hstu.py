@@ -247,6 +247,142 @@ class TestFusedTrain:
                 err_msg=str(path),
             )
 
+    @pytest.mark.parametrize(
+        "variant",
+        [
+            {"concat_ua": True},
+            {"normalization": "softmax_rel_bias"},
+            {"linear_activation": "none"},
+            {"concat_ua": True, "normalization": "softmax_rel_bias"},
+        ],
+        ids=["concat_ua", "softmax", "act_none", "concat_softmax"],
+    )
+    def test_variant_forward_and_grads_match_xla(self, setup, variant):
+        """Every block variant the serving kernel covers must also train
+        through the fused kernels: forward values and parameter gradients
+        match the XLA dense path at dropout 0 (VERDICT r2 item #4)."""
+        import jax
+        import jax.numpy as jnp
+
+        from rails_tpu.models.encoder import SequentialRecommender
+        from rails_tpu.train.loop import create_train_state
+
+        cfg_f, ds, batch = self._cfg(setup, rate=0.0, **variant)
+        cfg_d = cfg_f.replace(hstu=cfg_f.hstu.replace(fused_train=False))
+        model_f = SequentialRecommender(cfg=cfg_f, num_items=ds.max_item_id)
+        model_d = SequentialRecommender(cfg=cfg_d, num_items=ds.max_item_id)
+        _, state, _, _ = create_train_state(
+            cfg_d, ds.max_item_id, ds.all_item_ids, batch
+        )
+        params = state.params
+        rngs = {"dropout": jax.random.PRNGKey(0)}
+
+        def loss(model):
+            def fn(p):
+                out = model.apply(
+                    p, batch.features, True,
+                    method=model.encode_sequence, rngs=rngs,
+                )
+                w = jnp.cos(jnp.arange(out.size).reshape(out.shape) * 0.01)
+                return jnp.sum(out.astype(jnp.float32) * w)
+            return fn
+
+        vf, gf = jax.value_and_grad(loss(model_f))(params)
+        vd, gd = jax.value_and_grad(loss(model_d))(params)
+        np.testing.assert_allclose(float(vf), float(vd), rtol=1e-4)
+        flat_f = jax.tree_util.tree_leaves_with_path(gf)
+        flat_d = dict(jax.tree_util.tree_leaves_with_path(gd))
+        for path, leaf in flat_f:
+            ref = flat_d[path]
+            np.testing.assert_allclose(
+                np.asarray(leaf), np.asarray(ref), rtol=5e-3, atol=1e-4,
+                err_msg=str(path),
+            )
+
+    def test_attn_dropout_backward_matches_xla_replica(self, setup):
+        """attn_dropout > 0: the in-kernel hash realization differs from
+        flax's PRNG, so the fused path is checked against a pure-XLA replica
+        using the SAME hash masks — custom-VJP grads must equal jax.grad of
+        the replica."""
+        import jax
+        import jax.numpy as jnp
+
+        from rails_tpu.ops.pallas.hstu_block import _ln as ln_
+        from rails_tpu.ops.pallas.hstu_block_train import (
+            _attn_dropout_mask,
+            make_fused_train_block,
+        )
+        from rails_tpu.ops.pallas.mol_scoring import _sigmoid_tanh
+
+        b, n, d, h, dqk, dv = 4, 16, 32, 2, 8, 8
+        rate = 0.3
+        key = jax.random.PRNGKey(3)
+        ks = jax.random.split(key, 4)
+        x = jax.random.normal(ks[0], (b, n, d), jnp.float32)
+        colmask = (jax.random.uniform(ks[1], (b, n)) > 0.2).astype(jnp.float32)
+        uvqk = jax.random.normal(ks[2], (d, 2 * h * dv + 2 * h * dqk)) * 0.05
+        ow = jax.random.normal(ks[3], (h * dv, d)) * 0.05
+        ob = jnp.zeros((d,), jnp.float32)
+        seed = jnp.int32(77)
+        inv_n = 1.0 / n
+        eps = 1e-6
+
+        blk = make_fused_train_block(
+            num_heads=h, dqk=dqk, dv=dv, inv_n=inv_n, eps=eps,
+            dropout_rate=0.0, num_buckets=128, attn_dropout_rate=rate,
+        )
+
+        def replica(x_, uvqk_, ow_, ob_):
+            n0 = ln_(x_, eps)
+            y = jnp.einsum("bnd,df->bnf", n0, uvqk_)
+            y = y * _sigmoid_tanh(y)
+            hdv = h * dv
+            u = y[..., :hdv]
+            v = y[..., hdv : 2 * hdv] * inv_n
+            q = y[..., 2 * hdv : 2 * hdv + h * dqk]
+            k = y[..., 2 * hdv + h * dqk :]
+            row = jnp.arange(n)[:, None]
+            col = jnp.arange(n)[None, :]
+            penalty = (
+                (col <= row).astype(jnp.float32)[None]
+                * colmask[:, None, :] - 1.0
+            ) * 30000.0
+            cols = []
+            for head in range(h):
+                qh = q[..., head * dqk : (head + 1) * dqk]
+                kh = k[..., head * dqk : (head + 1) * dqk]
+                vh = v[..., head * dv : (head + 1) * dv]
+                s = jnp.einsum("bnd,bmd->bnm", qh, kh) + penalty
+                a = s * _sigmoid_tanh(s)
+                dmask = jnp.stack([
+                    _attn_dropout_mask(seed, 0, b, bi, head, n, rate)
+                    for bi in range(b)
+                ])
+                a = a * dmask
+                cols.append(jnp.einsum("bnm,bmd->bnd", a, vh))
+            attn = jnp.concatenate(cols, axis=-1)
+            o_in = u * ln_(attn, eps)
+            out = jnp.einsum("bnf,fd->bnd", o_in, ow_) + ob_ + x_
+            w = jnp.cos(jnp.arange(out.size).reshape(out.shape) * 0.01)
+            return jnp.sum(out * w)
+
+        def fused(x_, uvqk_, ow_, ob_):
+            out = blk(x_, colmask, None, None, None, uvqk_, ow_, ob_, seed)
+            w = jnp.cos(jnp.arange(out.size).reshape(out.shape) * 0.01)
+            return jnp.sum(out * w)
+
+        vr, gr = jax.value_and_grad(replica, argnums=(0, 1, 2, 3))(
+            x, uvqk, ow, ob
+        )
+        vf, gf = jax.value_and_grad(fused, argnums=(0, 1, 2, 3))(
+            x, uvqk, ow, ob
+        )
+        np.testing.assert_allclose(float(vf), float(vr), rtol=1e-4)
+        for a, bb in zip(gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(bb), rtol=5e-3, atol=1e-4
+            )
+
     def test_train_step_with_dropout_runs(self, setup):
         """One full train step with fused_train + dropout > 0: loss finite,
         params update."""
