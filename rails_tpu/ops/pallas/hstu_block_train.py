@@ -283,7 +283,9 @@ def _attn_bwd_kernel(
         )
 
         def head_attn(head):
-            """Recompute (s_h, final attention weights a_h) for one head."""
+            """Compute one head's attention pieces ONCE; pass 2 reuses the
+            stashed (a_h, softmax p / silu derivative) instead of re-running
+            the qk matmul + transcendentals."""
             qh = q[:, head * dqk : (head + 1) * dqk]
             kh = k[:, head * dqk : (head + 1) * dqk]
             s_h = jax.lax.dot_general(
@@ -296,9 +298,12 @@ def _attn_bwd_kernel(
                 e = jnp.exp(t)
                 p = e / jnp.sum(e, axis=1, keepdims=True)
                 a_h = p * mask
+                deriv = p                 # softmax jacobian needs p itself
             else:
-                p = None
-                a_h = s_h * _sigmoid_tanh(s_h)
+                sig = _sigmoid_tanh(s_h)
+                a_h = s_h * sig
+                # d silu(s)/d s, stashed so pass 2 needs no recompute.
+                deriv = sig * (1.0 + s_h * (1.0 - sig))
             if attn_rate > 0.0:
                 dmask = _attn_dropout_mask(
                     seed_ref[0, 0], pid, group, gi, head, n, attn_rate
@@ -306,14 +311,15 @@ def _attn_bwd_kernel(
                 a_h = a_h * dmask
             else:
                 dmask = None
-            return qh, kh, s_h, p, a_h, dmask
+            return qh, kh, a_h.astype(mm), deriv, dmask
 
+        heads = [head_attn(head) for head in range(h)]
         cols = []
         for head in range(h):
-            _, _, _, _, a_h, _ = head_attn(head)
+            _, _, a_h, _, _ = heads[head]
             vh = v[:, head * dv : (head + 1) * dv]
             cols.append(jnp.dot(
-                a_h.astype(mm), vh, preferred_element_type=jnp.float32
+                a_h, vh, preferred_element_type=jnp.float32
             ))
         attn = jnp.concatenate(cols, axis=1)                 # (N, h*dv) f32
         attn_ref[gi] = attn
@@ -333,7 +339,7 @@ def _attn_bwd_kernel(
         d_k = []
         d_v = []
         for head in range(h):
-            qh, kh, s_h, p, a_h, dmask = head_attn(head)
+            qh, kh, a_h, deriv, dmask = heads[head]
             vh = v[:, head * dv : (head + 1) * dv]
             d_attn_h = d_attn[:, head * dv : (head + 1) * dv].astype(mm)
             d_a = jax.lax.dot_general(
@@ -341,19 +347,19 @@ def _attn_bwd_kernel(
                 preferred_element_type=jnp.float32,
             )                                               # (N, N)
             d_v.append(jax.lax.dot_general(
-                a_h.astype(mm), d_attn_h,
+                a_h, d_attn_h,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ))                                              # (N, dv)
             if dmask is not None:
                 d_a = d_a * dmask
             if softmax:
+                p = deriv
                 d_p = d_a * mask
                 d_t = p * (d_p - jnp.sum(d_p * p, axis=1, keepdims=True))
                 d_s = d_t * rsqrt_dqk
             else:
-                sig = _sigmoid_tanh(s_h)
-                d_s = d_a * (sig * (1.0 + s_h * (1.0 - sig)))
+                d_s = d_a * deriv
             dbias_acc = dbias_acc + d_s
             d_s_mm = d_s.astype(mm)
             d_q.append(jnp.dot(d_s_mm, kh,
@@ -475,13 +481,17 @@ def make_fused_train_block(
 
     def _pick_group_bwd(b, n, f, itemsize):
         # Per user in the group: the y input block (itemsize), the f32 d_y
-        # output, attn in/out, and the fp32 (N, N) bias + dbias — pick the
-        # largest group that keeps the estimate within ~10 MB of the ~16 MB
-        # VMEM budget (double-buffered IO takes the rest).
+        # output, attn in/out, the fp32 (N, N) bias + dbias, and the per-head
+        # stashed (a_h mm, deriv f32) pass-1 values reused by pass 2 — pick
+        # the largest group that keeps the estimate within ~10 MB of the
+        # ~16 MB VMEM budget (double-buffered IO takes the rest).
         # Empirical: the compiler's scoped-vmem accounting at this shape is
         # ~5.3 MB/user (measured from its own OOM report at G=4) — model
         # generously.
-        per_user = n * f * (itemsize + 6) + 4 * n * n * 4 + 8 * n * hdv
+        per_user = (
+            n * f * (itemsize + 6) + 4 * n * n * 4 + 8 * n * hdv
+            + num_heads * n * n * (itemsize + 4)
+        )
         for g in (8, 4, 2, 1):
             if b % g == 0 and g * per_user + 2 * 2 ** 20 <= 10 * 2 ** 20:
                 return g
