@@ -354,6 +354,11 @@ def _ml_20m_hstu_mol() -> ExperimentConfig:
         hstu=HSTUConfig(
             embedding_dim=256, num_blocks=16, num_heads=8, dqk=32, dv=32,
             linear_dropout_rate=0.2,
+            # Default-on after the 60-epoch fused-vs-XLA convergence A/B at
+            # this exact geometry (dropout 0.2, clustered synthetic) showed
+            # the fused kernels in-band at every full-eval point while
+            # training 1.95x faster (docs/STATUS.md round-3).
+            fused_train=True,
         ),
         data=DataConfig(dataset_name="ml-20m", max_sequence_length=200),
         train=base.train.replace(
