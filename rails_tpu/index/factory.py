@@ -91,6 +91,16 @@ def get_top_k_raw(top_k_method: str):
             )
         return raw
 
+    m = re.fullmatch(r"MoLIVFTopK(\d+)", top_k_method)
+    if m:
+        nprobe = int(m.group(1))
+        def raw(model, params, state, q, k, user_ids=None, item_embeddings=None):
+            from rails_tpu.index.ivf import mol_ivf_top_k
+            return mol_ivf_top_k(
+                model, params, state, q, k, nprobe=nprobe, user_ids=user_ids
+            )
+        return raw
+
     raise ValueError(f"Unknown top_k_method {top_k_method!r}")
 
 
@@ -106,6 +116,9 @@ def parse_top_k_budgets(top_k_method: str) -> dict:
     m = re.fullmatch(r"MoLCombTopK(\d+)_(\d+)", top_k_method)
     if m:
         return {"k_per_group": int(m.group(1)), "avg_top_k": int(m.group(2))}
+    m = re.fullmatch(r"MoLIVFTopK(\d+)", top_k_method)
+    if m:
+        return {"nprobe": int(m.group(1))}
     return {}
 
 

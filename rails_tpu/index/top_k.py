@@ -71,6 +71,10 @@ class MoLTopKState(NamedTuple):
     item_tables: MoLItemTables       # components (X, P_X, d_P) + gating (X, L)
     avg_component: jnp.ndarray       # (X, d_P): mean over P_X components
     fused_tables: Optional["FusedCorpusTables"] = None
+    # Optional inverted-file index (rails_tpu/index/ivf.py) for the
+    # MoLIVFTopK ANN path — the FAISS IVFFlat replacement. Attach with
+    # `state._replace(ivf=build_ivf_index(state.avg_component, state.item_ids, ...))`.
+    ivf: Optional[Any] = None
 
 
 def build_mol_topk_state(
@@ -492,16 +496,24 @@ def _gathered_candidate_tables(
     return comp, gp
 
 
-def _dedup_rerank_top_k(
+def dedup_rerank_top_k(
     model, params, state: MoLTopKState,
     query_embeddings: jnp.ndarray,
     candidate_indices: jnp.ndarray,            # (B, C) corpus positions
     k: int,
     user_ids: Optional[jnp.ndarray],
+    cand_chunk: Optional[int] = None,
 ) -> TopKResult:
     """Sort candidates, mask duplicates, exact-MoL rerank, final top-k.
 
     Reference: the shared tail of Naive/Comb (`mol_top_k.py:257-293`).
+
+    With `cand_chunk`, candidate pools larger than the chunk rerank
+    through a `lax.scan` over candidate chunks (per-chunk top-k + merge —
+    exact, same argument as `chunked_top_k`), so the gathered tables peak
+    at (B, cand_chunk, P_X, d_P) regardless of the probe budget. The
+    duplicate mask is computed once over the globally sorted pool, so
+    chunking never double-counts across boundaries.
     """
     sorted_idx = jnp.sort(candidate_indices, axis=1)
     is_first = jnp.concatenate(
@@ -511,17 +523,59 @@ def _dedup_rerank_top_k(
         ],
         axis=1,
     )
-    comp, gp = _gathered_candidate_tables(state, sorted_idx)
-    scores = model.apply(
-        params, query_embeddings, comp, gp, user_ids=user_ids,
-        method=model.score_gathered,
-    )                                          # (B, C)
-    scores = jnp.where(is_first, scores, NEG_DUP)
-    scores = _mask_pad_rows(scores, state.item_ids[sorted_idx])
-    kk = min(k, sorted_idx.shape[1])
-    top_scores, pos = jax.lax.top_k(scores, kk)
-    top_idx = jnp.take_along_axis(sorted_idx, pos, axis=1)
+    b, c = sorted_idx.shape
+    if cand_chunk is None or c <= cand_chunk:
+        comp, gp = _gathered_candidate_tables(state, sorted_idx)
+        scores = model.apply(
+            params, query_embeddings, comp, gp, user_ids=user_ids,
+            method=model.score_gathered,
+        )                                      # (B, C)
+        scores = jnp.where(is_first, scores, NEG_DUP)
+        scores = _mask_pad_rows(scores, state.item_ids[sorted_idx])
+        kk = min(k, c)
+        top_scores, pos = jax.lax.top_k(scores, kk)
+        top_idx = jnp.take_along_axis(sorted_idx, pos, axis=1)
+        return TopKResult(scores=top_scores, ids=state.item_ids[top_idx])
+
+    # Chunked rerank: pad with duplicates of the last (sorted) candidate,
+    # flagged not-first so they are masked like any other duplicate.
+    nc = -(-c // cand_chunk)
+    pad = nc * cand_chunk - c
+    if pad:
+        sorted_idx = jnp.concatenate(
+            [sorted_idx, jnp.broadcast_to(sorted_idx[:, -1:], (b, pad))], axis=1
+        )
+        is_first = jnp.concatenate(
+            [is_first, jnp.zeros((b, pad), bool)], axis=1
+        )
+    idx_blocks = jnp.moveaxis(
+        sorted_idx.reshape(b, nc, cand_chunk), 1, 0
+    )                                          # (nc, B, chunk)
+    first_blocks = jnp.moveaxis(is_first.reshape(b, nc, cand_chunk), 1, 0)
+    kk = min(k, cand_chunk)
+
+    def body(carry, inp):
+        idx_c, first_c = inp
+        comp, gp = _gathered_candidate_tables(state, idx_c)
+        scores = model.apply(
+            params, query_embeddings, comp, gp, user_ids=user_ids,
+            method=model.score_gathered,
+        )
+        scores = jnp.where(first_c, scores, NEG_DUP)
+        scores = _mask_pad_rows(scores, state.item_ids[idx_c])
+        v, pos = jax.lax.top_k(scores, kk)
+        return carry, (v, jnp.take_along_axis(idx_c, pos, axis=1))
+
+    _, (vs, is_) = jax.lax.scan(body, None, (idx_blocks, first_blocks))
+    v_all = jnp.moveaxis(vs, 0, 1).reshape(b, nc * kk)
+    i_all = jnp.moveaxis(is_, 0, 1).reshape(b, nc * kk)
+    top_scores, pos = jax.lax.top_k(v_all, min(k, nc * kk))
+    top_idx = jnp.take_along_axis(i_all, pos, axis=1)
     return TopKResult(scores=top_scores, ids=state.item_ids[top_idx])
+
+
+# Backwards-compatible internal alias (Naive/Comb tail).
+_dedup_rerank_top_k = dedup_rerank_top_k
 
 
 def _component_chunk(

@@ -12,6 +12,7 @@ run inside jit with static k; latency measurements bracket
 
 from __future__ import annotations
 
+import re
 import time
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Tuple
@@ -54,9 +55,14 @@ def get_eval_state(
     item_l2_norm: bool = False,
     l2_norm_eps: float = 1e-6,
     table_dtype: jnp.dtype = jnp.bfloat16,
+    ivf_nlist: Optional[int] = None,
 ) -> EvalState:
     """Embed the entire corpus and build the top-k module
-    (`get_eval_state`, `data/eval.py:49-73`)."""
+    (`get_eval_state`, `data/eval.py:49-73`).
+
+    For `MoLIVFTopK{nprobe}` methods an IVF index (`rails_tpu/index/ivf.py`)
+    is trained over the corpus and attached to the state; `ivf_nlist`
+    defaults to the 4*sqrt(X) rule of thumb."""
     ids = jnp.asarray(all_item_ids, dtype=jnp.int32)
     item_emb = jax.jit(
         lambda p, i: maybe_l2_norm(
@@ -79,6 +85,14 @@ def get_eval_state(
         state = build_mol_topk_state(
             model, params, ids, item_emb, table_dtype=table_dtype,
             build_fused="Fused" in top_k_method,
+        )
+    if re.fullmatch(r"MoLIVFTopK\d+", top_k_method):
+        from rails_tpu.index.ivf import build_ivf_index
+
+        x_real = int(np.count_nonzero(np.asarray(ids)))
+        nlist = ivf_nlist or max(16, int(4 * np.sqrt(x_real)))
+        state = state._replace(
+            ivf=build_ivf_index(state.avg_component, state.item_ids, nlist=nlist)
         )
     top_k_fn = get_top_k_fn(
         top_k_method, model, params, state, item_embeddings=item_emb

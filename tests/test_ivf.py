@@ -1,0 +1,212 @@
+"""IVF (inverted-file) ANN index tests: build invariants, exactness at full
+probe, recall at tight probe, fused-only states, chunked rerank parity.
+
+The IVF path replaces the reference's FAISS IVFFlat indexes
+(`/root/reference/rails/indexing/mol_top_k.py:176-201`)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rails_tpu.core.config import get_experiment_config
+from rails_tpu.data.datasets import get_reco_dataset
+from rails_tpu.index import top_k as tk
+from rails_tpu.index.factory import get_top_k_fn, parse_top_k_budgets
+from rails_tpu.index.ivf import (
+    build_ivf_index,
+    kmeans,
+    mol_ivf_top_k,
+)
+from rails_tpu.train.loop import create_train_state
+
+
+@pytest.fixture(scope="module")
+def trained():
+    cfg = get_experiment_config("synthetic-small")
+    cfg = cfg.replace(
+        data=cfg.data.replace(synthetic_num_users=128, synthetic_num_items=400),
+        train=cfg.train.replace(local_batch_size=16, num_negatives=8),
+    )
+    ds = get_reco_dataset(cfg.data)
+    batches = list(
+        ds.train_dataset.batches(
+            batch_size=16, max_output_length=cfg.train.gr_output_length + 1,
+            shuffle=True, seed=0, drop_last=True,
+        )
+    )
+    model, state, train_step, _ = create_train_state(
+        cfg, ds.max_item_id, ds.all_item_ids, batches[0]
+    )
+    rng = jax.random.PRNGKey(0)
+    for batch in batches[:4]:
+        state, _ = train_step(state, batch, rng)
+    return cfg, ds, model, state.params, batches
+
+
+def _query_embeddings(model, params, ds, batches, n=12):
+    feats = batches[0].features
+    q = model.apply(params, feats, method=model.encode)
+    uids = feats.user_ids[:n] if feats.user_ids is not None else None
+    return q[:n], uids
+
+
+def _state(model, params, ds, **kw):
+    ids = jnp.asarray(ds.all_item_ids, dtype=jnp.int32)
+    item_emb = jax.jit(
+        lambda p, i: model.apply(p, i, method=model.get_item_embeddings)
+    )(params, ids)
+    kw.setdefault("table_dtype", jnp.float32)
+    return tk.build_mol_topk_state(model, params, ids, item_emb, **kw)
+
+
+class TestKMeans:
+    def test_recovers_separated_clusters(self):
+        rng = np.random.default_rng(0)
+        centers = rng.standard_normal((8, 16)) * 10.0
+        data = np.repeat(centers, 64, axis=0) + rng.standard_normal((512, 16))
+        cent = kmeans(jnp.asarray(data), nlist=8, num_iters=15, chunk=128)
+        # Every true center has a learned centroid within noise distance.
+        d = np.linalg.norm(
+            np.asarray(cent)[None, :, :] - centers[:, None, :], axis=-1
+        )
+        assert float(d.min(axis=1).max()) < 2.0
+
+    def test_handles_nonmultiple_chunk(self):
+        rng = np.random.default_rng(1)
+        data = jnp.asarray(rng.standard_normal((333, 8)))
+        cent = kmeans(data, nlist=4, num_iters=3, chunk=100)
+        assert cent.shape == (4, 8)
+        assert bool(jnp.all(jnp.isfinite(cent)))
+
+
+class TestBuildInvariants:
+    def test_every_position_exactly_once(self, trained):
+        cfg, ds, model, params, batches = trained
+        state = _state(model, params, ds)
+        ivf = build_ivf_index(
+            state.avg_component, state.item_ids, nlist=16, num_iters=5,
+            chunk=128,
+        )
+        ids_np = np.asarray(state.item_ids)
+        real = np.nonzero(ids_np != 0)[0]
+        # Collect positions: bucket slots are padded with 0, so count only
+        # slots whose position is real OR the (possible) true position-0 row.
+        buckets = np.asarray(ivf.buckets).ravel()
+        overflow = np.asarray(ivf.overflow)
+        all_pos = np.concatenate([buckets, overflow])
+        counts = np.bincount(all_pos, minlength=ids_np.size)
+        nonzero_positions = real[real != 0]
+        assert (counts[nonzero_positions] == 1).all()
+        cap = ivf.buckets.shape[1]
+        assert cap <= 2 * max(1, -(-real.size // ivf.buckets.shape[0])) + 8
+
+    def test_balance_cap_respected(self, trained):
+        cfg, ds, model, params, batches = trained
+        state = _state(model, params, ds)
+        ivf = build_ivf_index(
+            state.avg_component, state.item_ids, nlist=8, num_iters=5,
+            cap_factor=1.5, chunk=128,
+        )
+        # No bucket lists more real positions than cap (trivially true by
+        # construction — this guards the fill arithmetic).
+        buckets = np.asarray(ivf.buckets)
+        assert buckets.shape[0] == 8
+        per = (buckets != 0).sum(axis=1)
+        assert per.max() <= buckets.shape[1]
+
+
+class TestQuery:
+    def test_full_probe_equals_brute_force(self, trained):
+        cfg, ds, model, params, batches = trained
+        state = _state(model, params, ds)
+        ivf = build_ivf_index(
+            state.avg_component, state.item_ids, nlist=12, num_iters=5,
+            chunk=128,
+        )
+        state = state._replace(ivf=ivf)
+        q, uids = _query_embeddings(model, params, ds, batches)
+        exact = tk.mol_brute_force_top_k(model, params, state, q, 20, uids)
+        got = mol_ivf_top_k(
+            model, params, state, q, 20, nprobe=12, user_ids=uids
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.scores), np.asarray(exact.scores),
+            rtol=2e-3, atol=2e-3,
+        )
+        overlap = np.mean([
+            np.intersect1d(a, b).size / 20
+            for a, b in zip(np.asarray(got.ids), np.asarray(exact.ids))
+        ])
+        assert overlap >= 0.99
+
+    def test_tight_probe_recall(self, trained):
+        cfg, ds, model, params, batches = trained
+        state = _state(model, params, ds)
+        ivf = build_ivf_index(
+            state.avg_component, state.item_ids, nlist=16, num_iters=8,
+            chunk=128,
+        )
+        state = state._replace(ivf=ivf)
+        q, uids = _query_embeddings(model, params, ds, batches)
+        exact = tk.mol_brute_force_top_k(model, params, state, q, 10, uids)
+        got = mol_ivf_top_k(model, params, state, q, 10, nprobe=8, user_ids=uids)
+        overlap = np.mean([
+            np.intersect1d(a, b).size / 10
+            for a, b in zip(np.asarray(got.ids), np.asarray(exact.ids))
+        ])
+        assert overlap >= 0.7    # half the lists probed on a 400-item corpus
+
+    def test_fused_only_state(self, trained):
+        cfg, ds, model, params, batches = trained
+        state = _state(model, params, ds, build_fused=True, fused_only=True)
+        ivf = build_ivf_index(
+            state.avg_component, state.item_ids, nlist=12, num_iters=5,
+            chunk=128,
+        )
+        state = state._replace(ivf=ivf)
+        q, uids = _query_embeddings(model, params, ds, batches)
+        full = _state(model, params, ds)._replace(ivf=ivf)
+        want = mol_ivf_top_k(model, params, full, q, 15, nprobe=12, user_ids=uids)
+        got = mol_ivf_top_k(model, params, state, q, 15, nprobe=12, user_ids=uids)
+        np.testing.assert_allclose(
+            np.asarray(got.scores), np.asarray(want.scores), rtol=5e-2, atol=5e-2
+        )
+
+    def test_chunked_rerank_matches_oneshot(self, trained):
+        cfg, ds, model, params, batches = trained
+        state = _state(model, params, ds)
+        ivf = build_ivf_index(
+            state.avg_component, state.item_ids, nlist=12, num_iters=5,
+            chunk=128,
+        )
+        state = state._replace(ivf=ivf)
+        q, uids = _query_embeddings(model, params, ds, batches)
+        one = mol_ivf_top_k(
+            model, params, state, q, 20, nprobe=12, user_ids=uids,
+            cand_chunk=10**9,
+        )
+        chunked = mol_ivf_top_k(
+            model, params, state, q, 20, nprobe=12, user_ids=uids,
+            cand_chunk=64,
+        )
+        np.testing.assert_allclose(
+            np.asarray(chunked.scores), np.asarray(one.scores),
+            rtol=1e-5, atol=1e-5,
+        )
+        assert (np.asarray(chunked.ids) == np.asarray(one.ids)).mean() > 0.95
+
+    def test_factory_spelling(self, trained):
+        cfg, ds, model, params, batches = trained
+        state = _state(model, params, ds)
+        ivf = build_ivf_index(
+            state.avg_component, state.item_ids, nlist=12, num_iters=4,
+            chunk=128,
+        )
+        state = state._replace(ivf=ivf)
+        assert parse_top_k_budgets("MoLIVFTopK8") == {"nprobe": 8}
+        q, uids = _query_embeddings(model, params, ds, batches)
+        fn = get_top_k_fn("MoLIVFTopK8", model, params, state)
+        res = fn(q, 10, uids)
+        assert res.ids.shape == (q.shape[0], 10)
+        assert bool((res.ids > 0).all())

@@ -278,6 +278,12 @@ class _MoLWrapper(nn.Module):
             q, tables, user_ids=user_ids, item_indices=item_indices
         )
 
+    def score_gathered(self, q, component_embeddings, gating_partial,
+                       user_ids=None):
+        return self.similarity.score_gathered(
+            q, component_embeddings, gating_partial, user_ids=user_ids
+        )
+
     def query_components(self, q, user_ids=None):
         comps, _ = self.similarity.query_components(
             q, user_ids=user_ids, train=False
