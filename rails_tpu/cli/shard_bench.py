@@ -34,6 +34,14 @@ def main(argv=None) -> None:
     p.add_argument("--k", type=int, default=200)
     p.add_argument("--method", default="MoLBruteForceTopKFused")
     p.add_argument("--runs", type=int, default=10)
+    p.add_argument("--ivf-nlist", type=int, default=None,
+                   help="IVF cluster count (default 4*sqrt(X)); MoLIVF* only")
+    p.add_argument("--ivf-iters", type=int, default=10,
+                   help="k-means iterations for the IVF build")
+    p.add_argument("--ivf-recall-floor", type=float, default=0.0,
+                   help="assert IVF recall vs the exact oracle above this "
+                   "(recall depends on model training quality — the bench "
+                   "model is untrained, so the default only reports)")
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                    help="dotted config override (e.g. mol.dot_product_dimension=8)")
     p.add_argument(
@@ -109,7 +117,13 @@ def main(argv=None) -> None:
         noise = 0.05 * jax.random.normal(key, base.shape, base.dtype)
         return base + noise
 
-    if "Fused" in args.method and x > 1_000_000:
+    # IVF reranks gather from whichever layout the state holds, so at big
+    # corpus sizes it rides the same chunked kernel-layout build as the
+    # fused brute force (the standard-layout table would not fit).
+    kernel_layout_build = (
+        "Fused" in args.method or args.method.startswith("MoLIVF")
+    ) and x > 1_000_000
+    if kernel_layout_build:
         embed_fn = lambda start, cids: embed_chunk(  # noqa: E731
             jax.random.PRNGKey(start), cids
         )
@@ -154,6 +168,21 @@ def main(argv=None) -> None:
         "corpus: %d items, component tables %.2f GB, %d-way item sharding",
         x, bytes_tables / 1e9, item_parallel,
     )
+    if args.method.startswith("MoLIVF"):
+        from rails_tpu.index.ivf import build_sharded_ivf
+
+        nlist = args.ivf_nlist or max(64, int(4 * np.sqrt(x)))
+        tb = time.perf_counter()
+        ivf = build_sharded_ivf(
+            state_tk, item_parallel, nlist=nlist, num_iters=args.ivf_iters,
+            chunk=16_384,
+        )
+        logging.info(
+            "ivf build: nlist=%d cap=%d overflow=%d (%d shards) in %.1f s",
+            ivf.centroids.shape[1], ivf.buckets.shape[2],
+            ivf.overflow.shape[1], item_parallel, time.perf_counter() - tb,
+        )
+        state_tk = state_tk._replace(ivf=ivf)
     sh_state = pad_and_shard_state(state_tk, mesh)
     topk = make_sharded_top_k_fn(
         args.method, model, replicate(params, mesh), sh_state, mesh, k=args.k,
@@ -197,7 +226,7 @@ def main(argv=None) -> None:
                 p, qq, tables, user_ids=uids, method=model.score_precomputed
             )
 
-        chunked_build = "Fused" in args.method and x > 1_000_000
+        chunked_build = kernel_layout_build
         best_s = best_i = None
         for s0 in range(0, x, chunk):
             e0 = min(s0 + chunk, x)
@@ -244,20 +273,32 @@ def main(argv=None) -> None:
         # and near-tie reorderings are expected there; the non-fused paths
         # must match the oracle exactly.
         fused = "Fused" in args.method
-        tol = 5e-2 if fused else 2e-3
-        min_overlap = 0.95 if fused else 0.99
-        np.testing.assert_allclose(
-            np.asarray(res.scores), best_s, rtol=tol, atol=tol
-        )
+        is_ivf = args.method.startswith("MoLIVF")
         overlap = float(np.mean([
             len(set(a.tolist()) & set(b.tolist())) / args.k
             for a, b in zip(np.asarray(res.ids), best_i)
         ]))
-        logging.info(
-            "check vs chunked exact scan: scores match, id overlap %.4f",
-            overlap,
-        )
-        assert overlap > min_overlap, overlap
+        if is_ivf:
+            # IVF is approximate by design: report recall vs the exact
+            # oracle and hold the configured floor (recall here reflects
+            # the UNTRAINED bench model's weak avg-embedding correlation —
+            # see the trained-model IVF recall study in docs/STATUS.md).
+            logging.info(
+                "check vs chunked exact scan: IVF recall@%d = %.4f",
+                args.k, overlap,
+            )
+            assert overlap >= args.ivf_recall_floor, overlap
+        else:
+            tol = 5e-2 if fused else 2e-3
+            min_overlap = 0.95 if fused else 0.99
+            np.testing.assert_allclose(
+                np.asarray(res.scores), best_s, rtol=tol, atol=tol
+            )
+            logging.info(
+                "check vs chunked exact scan: scores match, id overlap %.4f",
+                overlap,
+            )
+            assert overlap > min_overlap, overlap
 
     t0 = time.perf_counter()
     for i in range(args.runs):

@@ -66,7 +66,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kmeanspp_init(
-    data: jnp.ndarray, nlist: int, key, sample_factor: int = 16
+    data: jnp.ndarray, nlist: int, key, sample_factor: int = 16,
+    valid: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """k-means++ seeding on a subsample, fully in-jit.
 
@@ -81,10 +82,15 @@ def _kmeanspp_init(
     x, d = data.shape
     s = min(x, max(sample_factor * nlist, 1024))
     k0, k1, k2 = jax.random.split(key, 3)
-    pos = (
-        jax.random.choice(k0, x, shape=(s,), replace=False) if s < x
-        else jnp.arange(x)
-    )
+    if valid is not None:
+        p = valid.astype(jnp.float32)
+        pos = jax.random.choice(
+            k0, x, shape=(s,), replace=s >= int(jnp.sum(p)), p=p / jnp.sum(p)
+        )
+    elif s < x:
+        pos = jax.random.choice(k0, x, shape=(s,), replace=False)
+    else:
+        pos = jnp.arange(x)
     sample = data[pos].astype(jnp.float32)
 
     @jax.jit
@@ -92,11 +98,11 @@ def _kmeanspp_init(
         first = sample[jax.random.randint(k1, (), 0, s)]
         seeds = jnp.zeros((nlist, d), jnp.float32).at[0].set(first)
         mind = jnp.sum((sample - first[None, :]) ** 2, axis=1)
-        gumbel = jax.random.gumbel(k2, (nlist, s))
 
         def body(i, carry):
             seeds, mind = carry
-            j = jnp.argmax(jnp.log(mind + 1e-30) + gumbel[i])
+            gumbel = jax.random.gumbel(jax.random.fold_in(k2, i), (s,))
+            j = jnp.argmax(jnp.log(mind + 1e-30) + gumbel)
             c = sample[j]
             seeds = seeds.at[i].set(c)
             mind = jnp.minimum(mind, jnp.sum((sample - c[None, :]) ** 2, axis=1))
@@ -114,6 +120,7 @@ def kmeans(
     num_iters: int = 10,
     seed: int = 0,
     chunk: int = 65_536,
+    valid: Optional[jnp.ndarray] = None,   # (X,) bool; None = all valid
 ) -> jnp.ndarray:
     """L2 Lloyd's k-means, fully on device; returns (nlist, d) fp32 centroids.
 
@@ -121,26 +128,39 @@ def kmeans(
     `lax.scan`: per block one (C, d) x (d, nlist) MXU matmul picks the
     nearest centroid (argmin ||x-c||^2 == argmax x.c - ||c||^2/2) and a
     one-hot einsum accumulates per-cluster sums/counts. Empty clusters
-    keep their previous centroid (FAISS does the same).
+    keep their previous centroid (FAISS does the same). `valid=False`
+    rows (e.g. corpus pad rows) are excluded from the statistics; no
+    gathered real-rows-only copy is ever made, so huge device- or
+    host-resident tables stream through unchanged.
     """
     x, d = data.shape
     nlist = min(nlist, x)
     key = jax.random.PRNGKey(seed)
-    centroids = _kmeanspp_init(data, nlist, key)
+    centroids = _kmeanspp_init(jnp.asarray(data), nlist, key, valid=valid)
 
-    xp = _round_up(x, chunk)
-    padded = jnp.pad(data.astype(jnp.float32), ((0, xp - x), (0, 0)))
-    valid = (jnp.arange(xp) < x).astype(jnp.float32)
-    blocks = padded.reshape(xp // chunk, chunk, d)
-    vblocks = valid.reshape(xp // chunk, chunk)
+    chunk = min(chunk, x)
+    num_chunks = -(-x // chunk)
+    starts = jnp.arange(num_chunks, dtype=jnp.int32) * chunk
+    data_dev = jnp.asarray(data)
+    vvec = None if valid is None else valid.astype(jnp.float32)
 
     @jax.jit
     def step(cent):
         half_norm = 0.5 * jnp.sum(cent * cent, axis=1)          # (nlist,)
 
-        def body(carry, inp):
+        def body(carry, start):
             sums, counts = carry
-            blk, vld = inp
+            # Clamped slice: the final chunk re-covers the tail; rows whose
+            # global index precedes `start` are masked so nothing double
+            # counts. No padded copy of the (possibly multi-GB) table.
+            blk = jax.lax.dynamic_slice_in_dim(
+                data_dev, start, chunk
+            ).astype(jnp.float32)
+            cs = jnp.minimum(start, x - chunk)
+            rows = cs + jnp.arange(chunk)
+            vld = (rows >= start).astype(jnp.float32)
+            if vvec is not None:
+                vld = vld * jax.lax.dynamic_slice_in_dim(vvec, start, chunk)
             sims = blk @ cent.T - half_norm[None, :]             # (C, nlist)
             assign = jnp.argmax(sims, axis=1)
             onehot = (
@@ -156,7 +176,7 @@ def kmeans(
         (sums, counts), _ = jax.lax.scan(
             body,
             (jnp.zeros((nlist, d), jnp.float32), jnp.zeros((nlist,), jnp.float32)),
-            (blocks, vblocks),
+            starts,
         )
         new = jnp.where(
             counts[:, None] > 0, sums / jnp.maximum(counts, 1.0)[:, None], cent
@@ -207,7 +227,7 @@ def assign_choices(
     out_v = np.empty((x, r), np.float32)
     for start in range(0, x, chunk):
         end = min(start + chunk, x)
-        v, i = block_choices(data[start:end])
+        v, i = block_choices(jnp.asarray(data[start:end]))
         out_v[start:end] = np.asarray(v)
         out_c[start:end] = np.asarray(i)
     return out_c, out_v
@@ -278,25 +298,38 @@ def build_ivf_index(
 
     Corpus pad rows (item id 0, appended by `pad_and_shard_state` /
     fused-layout padding) are excluded from clustering and from the
-    lists entirely, so probing never surfaces them.
+    lists entirely, so probing never surfaces them. The big table is
+    never gathered host-side: clustering and assignment stream it in
+    chunks with a validity mask; only the (X, R) choice arrays come to
+    host for the balanced fill.
     """
     ids_np = np.asarray(item_ids)
-    real = np.nonzero(ids_np != 0)[0].astype(np.int32)
+    real = np.nonzero(ids_np != 0)[0].astype(np.int64)
     x = int(real.size)
     assert x > 0, "empty corpus"
-    data = jnp.asarray(np.asarray(avg_component)[real])
     nlist = min(nlist, x)
+    valid = jnp.asarray(ids_np != 0)
 
-    centroids = kmeans(data, nlist, num_iters=num_iters, seed=seed, chunk=chunk)
+    centroids = kmeans(
+        avg_component, nlist, num_iters=num_iters, seed=seed, chunk=chunk,
+        valid=valid,
+    )
     nlist = int(centroids.shape[0])
     cap = max(1, int(np.ceil(cap_factor * x / nlist)))
     cap = _round_up(cap, 8)
-    choices, sims = assign_choices(data, centroids, num_choices, chunk=chunk)
-    _, buckets, overflow_local = _balanced_fill(choices, sims, nlist, cap)
+    choices, sims = assign_choices(
+        avg_component, centroids, num_choices, chunk=chunk
+    )
+    _, buckets, overflow_local = _balanced_fill(
+        choices[real], sims[real], nlist, cap
+    )
 
     # Local (real-row) positions back to corpus positions.
-    buckets = real[buckets]
-    overflow = real[overflow_local] if overflow_local.size else overflow_local
+    buckets = real[buckets].astype(np.int32)
+    overflow = (
+        real[overflow_local].astype(np.int32)
+        if overflow_local.size else overflow_local
+    )
     o_pad = _round_up(max(int(overflow.size), 0), 8) if overflow.size else 0
     overflow_padded = np.zeros((o_pad,), np.int32)
     overflow_padded[: overflow.size] = overflow
@@ -359,4 +392,107 @@ def mol_ivf_top_k(
     return tk.dedup_rerank_top_k(
         model, params, state, query_embeddings, cand, k, user_ids,
         cand_chunk=cand_chunk,
+    )
+
+
+def build_sharded_ivf(
+    state,                        # UNsharded MoLTopKState (host or device)
+    num_shards: int,
+    fused_block_x: int = 256,
+    nlist: int = 1024,
+    num_iters: int = 10,
+    cap_factor: float = 2.0,
+    num_choices: int = 4,
+    seed: int = 0,
+    chunk: int = 65_536,
+) -> IVFIndex:
+    """Per-shard IVF indexes, stacked on a leading shard axis.
+
+    Each item shard gets its own index over its LOCAL corpus slice (the
+    contiguous block `pad_and_shard_state` will place on that device),
+    with bucket entries holding shard-local positions. The stacked
+    (S, nlist, cap) / (S, nlist, d) / (S, O) arrays shard along axis 0
+    with the item axis, so inside `shard_map` every device sees exactly
+    its own index (leading dim 1). Caps and overflow lengths are unified
+    to the max across shards (pad slots point at local position 0 — the
+    harmless-extra-candidate convention, see `IVFIndex`).
+
+    Sharded recall semantics match the other approximate algorithms
+    (`sharded.py` module docstring): each shard probes `nprobe` of its
+    own lists, so total probed lists = S * nprobe.
+    """
+    s = num_shards
+    x = state.item_ids.shape[0]
+    unit = s * fused_block_x if state.fused_tables is not None else s
+    xp = x + ((-x) % unit)
+    per = xp // s
+    if s == 1:
+        # Single shard: index the corpus in place (no host round-trip of
+        # the avg table — it may be a multi-GB device array behind a
+        # remote tunnel).
+        ivf = build_ivf_index(
+            state.avg_component, state.item_ids, nlist=nlist,
+            num_iters=num_iters, cap_factor=cap_factor,
+            num_choices=num_choices, seed=seed, chunk=chunk,
+        )
+        return IVFIndex(
+            centroids=ivf.centroids[None], buckets=ivf.buckets[None],
+            overflow=ivf.overflow[None],
+        )
+    ids_np = np.zeros((xp,), np.int32)
+    ids_np[:x] = np.asarray(state.item_ids)
+    avg = state.avg_component                     # (X_orig, d) host or device
+
+    parts = []
+    for si in range(s):
+        lo, hi = si * per, (si + 1) * per
+        ids_l = ids_np[lo:hi]
+        hi_data = min(hi, avg.shape[0])
+        avg_l = np.zeros((per, avg.shape[1]), np.asarray(avg[:1]).dtype)
+        if hi_data > lo:
+            avg_l[: hi_data - lo] = np.asarray(avg[lo:hi_data])
+        if (ids_l != 0).any():
+            parts.append(
+                build_ivf_index(
+                    jnp.asarray(avg_l), jnp.asarray(ids_l), nlist=nlist,
+                    num_iters=num_iters, cap_factor=cap_factor,
+                    num_choices=num_choices, seed=seed + si, chunk=chunk,
+                )
+            )
+        else:
+            d = avg.shape[1]
+            parts.append(
+                IVFIndex(
+                    centroids=jnp.zeros((min(nlist, 1), d), jnp.float32),
+                    buckets=jnp.zeros((min(nlist, 1), 8), jnp.int32),
+                    overflow=jnp.zeros((0,), jnp.int32),
+                )
+            )
+
+    nl = max(p.centroids.shape[0] for p in parts)
+    cap = max(p.buckets.shape[1] for p in parts)
+    o = max(p.overflow.shape[0] for p in parts)
+
+    def _pad_part(p: IVFIndex) -> IVFIndex:
+        c = np.zeros((nl, parts[0].centroids.shape[1]), np.float32)
+        c[: p.centroids.shape[0]] = np.asarray(p.centroids)
+        # Pad centroids with +inf-distance sentinels? A zero centroid is a
+        # valid probe target whose bucket is all-position-0 — harmless; but
+        # keep it far away so real probes win: leave zeros (scores near 0
+        # rank below well-aligned real centroids in practice, and a probed
+        # empty bucket only adds dedup-masked position-0 candidates).
+        b = np.zeros((nl, cap), np.int32)
+        b[: p.buckets.shape[0], : p.buckets.shape[1]] = np.asarray(p.buckets)
+        ov = np.zeros((o,), np.int32)
+        ov[: p.overflow.shape[0]] = np.asarray(p.overflow)
+        return IVFIndex(
+            centroids=jnp.asarray(c), buckets=jnp.asarray(b),
+            overflow=jnp.asarray(ov),
+        )
+
+    padded = [_pad_part(p) for p in parts]
+    return IVFIndex(
+        centroids=jnp.stack([p.centroids for p in padded]),
+        buckets=jnp.stack([p.buckets for p in padded]),
+        overflow=jnp.stack([p.overflow for p in padded]),
     )

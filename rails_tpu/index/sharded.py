@@ -84,6 +84,17 @@ def pad_and_shard_state(
             ),
             num_items=ft.num_items,
         )
+    ivf = None
+    if state.ivf is not None:
+        # A stacked per-shard index from `build_sharded_ivf` (leading shard
+        # axis) — shard that axis with the item axis so each device carries
+        # exactly its own inverted lists.
+        assert state.ivf.centroids.ndim == 3, (
+            "sharded states need a stacked per-shard IVF index; build it "
+            "with rails_tpu.index.ivf.build_sharded_ivf(state, num_shards)"
+        )
+        sh_lead = NamedSharding(mesh, P(ITEM_AXIS))
+        ivf = jax.tree.map(lambda a: jax.device_put(a, sh_lead), state.ivf)
     return MoLTopKState(
         item_ids=put(state.item_ids),
         item_tables=MoLItemTables(
@@ -92,6 +103,7 @@ def pad_and_shard_state(
         ),
         avg_component=put(state.avg_component),
         fused_tables=fused,
+        ivf=ivf,
     )
 
 
@@ -181,6 +193,23 @@ def make_sharded_top_k_fn(
                 avg_top_k=min(avg_top_k, x_local),
                 k_per_group=min(k_per_group, x_local), user_ids=user_ids,
             )
+        elif top_k_method.startswith("MoLIVF"):
+            import re as _re
+
+            from rails_tpu.index.ivf import mol_ivf_top_k
+
+            m = _re.fullmatch(r"MoLIVFTopK(\d+)", top_k_method)
+            assert m, f"bad IVF method spelling {top_k_method!r}"
+            assert state_l.ivf is not None, (
+                "sharded IVF needs build_sharded_ivf attached to the state"
+            )
+            # Strip the leading per-shard axis: inside shard_map each
+            # device sees its own (1, ...) slice of the stacked index.
+            ivf_l = jax.tree.map(lambda a: a[0], state_l.ivf)
+            res = mol_ivf_top_k(
+                model, params_, state_l._replace(ivf=ivf_l), q, k_local,
+                nprobe=int(m.group(1)), user_ids=user_ids,
+            )
         else:
             raise ValueError(f"Unknown top_k_method {top_k_method!r}")
         # Mask padded corpus rows (id 0), then pad local lists back to k
@@ -212,6 +241,10 @@ def make_sharded_top_k_fn(
             )
             if state.fused_tables is not None
             else None
+        ),
+        ivf=(
+            jax.tree.map(lambda _: P(ITEM_AXIS), state.ivf)
+            if state.ivf is not None else None
         ),
     )
 

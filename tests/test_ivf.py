@@ -196,6 +196,47 @@ class TestQuery:
         )
         assert (np.asarray(chunked.ids) == np.asarray(one.ids)).mean() > 0.95
 
+    def test_sharded_full_probe_equals_brute_force(self, trained):
+        """Per-shard IVF through shard_map: probing every list on every
+        shard must reproduce single-device brute force (400-row corpus on
+        4 shards exercises pad rows inside shards)."""
+        from rails_tpu.core.config import MeshConfig
+        from rails_tpu.core.mesh import make_mesh, replicate
+        from rails_tpu.index.ivf import build_sharded_ivf
+        from rails_tpu.index.sharded import (
+            make_sharded_top_k_fn,
+            pad_and_shard_state,
+        )
+
+        cfg, ds, model, params, batches = trained
+        state = _state(model, params, ds)
+        nlist = 6
+        stacked = build_sharded_ivf(
+            state, num_shards=4, nlist=nlist, num_iters=5, chunk=128
+        )
+        assert stacked.centroids.shape[0] == 4
+        mesh = make_mesh(
+            MeshConfig(item_parallel=4, data_parallel=1),
+            devices=jax.devices()[:4],
+        )
+        sh_state = pad_and_shard_state(state._replace(ivf=stacked), mesh)
+        q, uids = _query_embeddings(model, params, ds, batches)
+        topk = make_sharded_top_k_fn(
+            f"MoLIVFTopK{nlist}", model, replicate(params, mesh), sh_state,
+            mesh, k=20,
+        )
+        got = topk(q, user_ids=uids)
+        exact = tk.mol_brute_force_top_k(model, params, state, q, 20, uids)
+        np.testing.assert_allclose(
+            np.asarray(got.scores), np.asarray(exact.scores),
+            rtol=2e-3, atol=2e-3,
+        )
+        overlap = np.mean([
+            np.intersect1d(a, b).size / 20
+            for a, b in zip(np.asarray(got.ids), np.asarray(exact.ids))
+        ])
+        assert overlap >= 0.99
+
     def test_factory_spelling(self, trained):
         cfg, ds, model, params, batches = trained
         state = _state(model, params, ds)
