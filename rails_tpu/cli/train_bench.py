@@ -16,6 +16,60 @@ import time
 
 import numpy as np
 
+V5E_BF16_PEAK = 197e12            # bf16 TFLOP/s, one v5e chip
+
+
+def train_flops_per_user(cfg, n: int, r: int, shared: bool) -> float:
+    """Analytic matmul FLOPs for one training-step user at padded length n
+    with r sampled negatives (backward counted as 2x forward — the standard
+    matmul accounting; elementwise, gathers and norms excluded)."""
+    h_cfg = cfg.hstu
+    d = h_cfg.embedding_dim
+    h, dqk, dv = h_cfg.num_heads, h_cfg.dqk, h_cfg.dv
+    f_uvqk = 2 * h * dv + 2 * h * dqk
+    o_in = h * dv * (3 if h_cfg.concat_ua else 1)
+    enc_block = (
+        2 * n * d * f_uvqk
+        + 2 * n * n * h * dqk
+        + 2 * n * n * h * dv
+        + 2 * n * o_in * d
+    )
+    enc = h_cfg.num_blocks * enc_block
+
+    m = cfg.mol
+    l = m.num_logits
+    d_p = m.dot_product_dimension
+    p_q, p_x = m.query_dot_product_groups, m.item_dot_product_groups
+    qh = max(m.query_hidden_dim, 0)
+    q_side = (
+        (2 * m.query_embedding_dim * 2 * qh + 2 * qh * p_q * d_p)
+        if qh > 0
+        else 2 * m.query_embedding_dim * p_q * d_p
+    )
+    if m.gating_query_fn:
+        q_side += 2 * m.query_embedding_dim * m.gating_query_hidden_dim
+        q_side += 2 * m.gating_query_hidden_dim * l
+    ih = max(m.item_hidden_dim, 0)
+    i_side = (
+        (2 * m.item_embedding_dim * 2 * ih + 2 * ih * p_x * d_p)
+        if ih > 0
+        else 2 * m.item_embedding_dim * p_x * d_p
+    )
+    if m.gating_item_fn:
+        i_side += 2 * m.item_embedding_dim * m.gating_item_hidden_dim
+        i_side += 2 * m.gating_item_hidden_dim * l
+    gqih = max(m.gating_qi_hidden_dim, 0)
+    per_pair = 2 * p_q * p_x * d_p
+    per_pair += (2 * l * gqih + 2 * gqih * l) if gqih > 0 else 2 * l * l
+
+    # Every padded position is a query; each scores its positive and the
+    # sampled negatives (one set per position, or one shared set per user
+    # with train.shared_negatives).
+    pairs = n * (1 + r)
+    items_built = n + (r if shared else n * r)
+    fwd = enc + n * q_side + items_built * i_side + pairs * per_pair
+    return 3.0 * float(fwd)
+
 
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
@@ -89,6 +143,11 @@ def main(argv=None) -> None:
         for l in losses:
             np.asarray(l)
         best = min(best, (time.perf_counter() - t0) / len(batches))
+    n_padded = int(batches[0].features.ids.shape[1])
+    fpu = train_flops_per_user(
+        cfg, n_padded, cfg.train.num_negatives, cfg.train.shared_negatives
+    )
+    achieved = fpu * args.batch_size / best
     print(json.dumps({
         "metric": "train_step_users_per_sec",
         "config": args.config,
@@ -96,6 +155,8 @@ def main(argv=None) -> None:
         "value": round(args.batch_size / best, 2),
         "unit": "users/sec/chip",
         "ms_per_step": round(best * 1e3, 3),
+        "achieved_tflops": round(achieved / 1e12, 2),
+        "mfu_pct": round(100.0 * achieved / V5E_BF16_PEAK, 2),
         "final_loss": float(np.asarray(m["loss"])),
     }))
 
