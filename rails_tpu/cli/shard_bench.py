@@ -27,6 +27,8 @@ import numpy as np
 def main(argv=None) -> None:
     logging.basicConfig(stream=sys.stdout, level=logging.INFO)
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default="ml-20m-hstu-mol",
+                   help="experiment config supplying encoder + MoL geometry")
     p.add_argument("--num-items", type=int, default=1_000_000)
     p.add_argument("--item-parallel", type=int, default=None,
                    help="item-axis size (default: all devices)")
@@ -69,7 +71,7 @@ def main(argv=None) -> None:
                      devices=jax.devices()[:item_parallel])
 
     x = args.num_items
-    cfg = get_experiment_config("ml-20m-hstu-mol")
+    cfg = get_experiment_config(args.config)
     cfg = cfg.replace(
         data=cfg.data.replace(
             dataset_name="synthetic", synthetic_num_users=256,
@@ -206,6 +208,18 @@ def main(argv=None) -> None:
         from rails_tpu.similarity.mol import MoLItemTables
 
         chunk = 262_144   # == the fused build's chunk (same noise keying)
+        # Scoring memory within a chunk is decoupled from the build chunk:
+        # the XLA MoL path materializes (B, sub, L) logits and (B, sub, H)
+        # gating hiddens, so sub-chunk the SCORING to a ~1 GB budget (the
+        # tables themselves are regenerated per build-chunk for identical
+        # noise bits, then sliced).
+        m = model.cfg.mol
+        bytes_per_item = (
+            args.batch_size
+            * (m.num_logits + max(m.gating_qi_hidden_dim, 0) + 8) * 4 * 2
+        )
+        sub_chunk = max(4096, min(chunk, (1 << 30) // max(bytes_per_item, 1)))
+        sub_chunk = 1 << (sub_chunk.bit_length() - 1)   # divides the 2^18 chunk
 
         @jax.jit
         def chunk_tables(p, emb):
@@ -250,21 +264,30 @@ def main(argv=None) -> None:
                         else state_tk.item_tables.gating_partial[s0:e0]
                     ),
                 )
-            sc = np.asarray(
-                score_chunk(params, q, t_c, batch.features.user_ids)
-            )
-            k_loc = min(args.k, sc.shape[1])
-            idx = np.argpartition(-sc, k_loc - 1, axis=1)[:, :k_loc]
-            ss = np.take_along_axis(sc, idx, axis=1)
-            ii = np.asarray(state_tk.item_ids[s0:e0])[idx]
-            if best_s is None:
-                best_s, best_i = ss, ii
-            else:
-                cs = np.concatenate([best_s, ss], axis=1)
-                ci = np.concatenate([best_i, ii], axis=1)
-                sel = np.argpartition(-cs, args.k - 1, axis=1)[:, : args.k]
-                best_s = np.take_along_axis(cs, sel, axis=1)
-                best_i = np.take_along_axis(ci, sel, axis=1)
+            for s1 in range(0, e0 - s0, sub_chunk):
+                e1 = min(s1 + sub_chunk, e0 - s0)
+                t_sub = MoLItemTables(
+                    component_embeddings=t_c.component_embeddings[s1:e1],
+                    gating_partial=(
+                        None if t_c.gating_partial is None
+                        else t_c.gating_partial[s1:e1]
+                    ),
+                )
+                sc = np.asarray(
+                    score_chunk(params, q, t_sub, batch.features.user_ids)
+                )
+                k_loc = min(args.k, sc.shape[1])
+                idx = np.argpartition(-sc, k_loc - 1, axis=1)[:, :k_loc]
+                ss = np.take_along_axis(sc, idx, axis=1)
+                ii = np.asarray(state_tk.item_ids[s0 + s1 : s0 + e1])[idx]
+                if best_s is None:
+                    best_s, best_i = ss, ii
+                else:
+                    cs = np.concatenate([best_s, ss], axis=1)
+                    ci = np.concatenate([best_i, ii], axis=1)
+                    sel = np.argpartition(-cs, args.k - 1, axis=1)[:, : args.k]
+                    best_s = np.take_along_axis(cs, sel, axis=1)
+                    best_i = np.take_along_axis(ci, sel, axis=1)
         order = np.argsort(-best_s, axis=1, kind="stable")
         best_s = np.take_along_axis(best_s, order, axis=1)[:, : args.k]
         best_i = np.take_along_axis(best_i, order, axis=1)[:, : args.k]
