@@ -84,6 +84,8 @@ def main(argv=None) -> None:
                    help="one negative set per batch instead of per position")
     p.add_argument("--fused-train", action="store_true",
                    help="fused forward+backward HSTU block kernels")
+    p.add_argument("--fused-mol-loss", action="store_true",
+                   help="fused MoL negatives scoring (needs --shared-negatives)")
     args = p.parse_args(argv)
 
     import jax
@@ -105,6 +107,7 @@ def main(argv=None) -> None:
             loss_activation_checkpoint=args.remat,
             shared_negatives=args.shared_negatives
             or cfg.train.shared_negatives,
+            fused_mol_loss=args.fused_mol_loss or cfg.train.fused_mol_loss,
         ),
     )
     if args.fused_train:

@@ -218,6 +218,12 @@ class TrainConfig(_Base):
     # One negative set per batch instead of per position (throughput
     # optimization beyond the reference; changes the estimator — A/B first).
     shared_negatives: bool = False
+    # Score the shared negatives through the fused Pallas MoL pipeline
+    # (custom VJP; in-kernel hash-stream dropout — a different, valid
+    # realization than the XLA path's flax PRNG). Requires shared_negatives,
+    # a local sampler, and the glu_silu gating configuration; other configs
+    # fall back to the XLA path.
+    fused_mol_loss: bool = False
     item_l2_norm: bool = False
     l2_norm_eps: float = 1e-6
     # Input/output processing.

@@ -27,6 +27,54 @@ from rails_tpu.models.preprocessors import length_mask
 AuxLosses = Dict[str, jnp.ndarray]
 
 
+def _fused_negative_logits(
+    model, q, user_ids_flat, w_flat, sampled_neg_embeddings
+):
+    """Shared-negative MoL scores through the fused Pallas train kernel.
+
+    The query/item component MLPs, gating partials, and their dropouts run
+    in XLA (tiny: M query rows + R item rows); the (M, R, L/H) gating
+    pipeline — the training-memory hot spot — runs fwd+bwd in VMEM
+    (`rails_tpu/ops/pallas/mol_loss_train.py`). The aux losses of this call
+    were already discarded on the XLA path (the reference takes aux from
+    the positives pass only, `losses/sampled_softmax.py:66-78`)."""
+    from rails_tpu.ops.pallas.mol_loss_train import make_fused_mol_loss
+    from rails_tpu.ops.pallas.mol_scoring import MoLKernelWeights
+
+    sim = model.similarity
+    c = model.cfg.mol
+    q_comp, _ = sim.query_components(
+        q, user_ids=user_ids_flat, train=True, weights=w_flat
+    )
+    qp = sim.query_gating_partial(q)                       # (M, L)
+    i_comp = sim.item_components(sampled_neg_embeddings, train=True)
+    ip = sim.item_gating_partial(sampled_neg_embeddings, train=True)
+    gq = sim.gating_qi.variables["params"]
+    weights = MoLKernelWeights(
+        w1=gq["hidden"]["kernel"],
+        b1=gq["hidden"]["bias"][None, :],
+        w2=gq["out"]["kernel"],
+        b2=gq["out"]["bias"][None, :],
+    )
+    seed = jax.random.randint(
+        model.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max,
+        dtype=jnp.int32,
+    )
+    fused = make_fused_mol_loss(
+        p_q=c.query_dot_product_groups,
+        p_x=c.item_dot_product_groups,
+        temperature=c.temperature,
+        softmax_dropout_rate=c.softmax_dropout_rate,
+        qi_dropout_rate=c.gating_qi_dropout_rate,
+        eps=c.eps,
+    )
+    dtype = i_comp.dtype
+    return fused(
+        q_comp.astype(dtype), qp.astype(dtype), i_comp,
+        ip.astype(dtype), weights, seed,
+    )
+
+
 def sampled_softmax_loss(
     model,                                   # bound SequentialRecommender
     features: SequentialFeatures,            # target already scattered at [len]
@@ -120,7 +168,22 @@ def sampled_softmax_loss(
     )
     positive_logits = positive_logits / softmax_temperature        # (M, 1)
 
-    if activation_checkpoint and train:
+    fused_ok = (
+        train
+        and shared_negatives
+        and getattr(model.cfg.train, "fused_mol_loss", False)
+        and model.cfg.similarity_type == "MoL"
+        and model.cfg.mol.gating_combination_type == "glu_silu"
+        and model.cfg.mol.gating_query_fn
+        and model.cfg.mol.gating_item_fn
+        and model.cfg.mol.gating_qi_hidden_dim > 0
+        and isinstance(sampler, LocalNegativesSampler)
+    )
+    if fused_ok:
+        negative_logits = _fused_negative_logits(
+            model, q, user_ids_flat, w_flat, sampled_neg_embeddings
+        )
+    elif activation_checkpoint and train:
         # Rematerialized, chunked negatives scoring: the (M, R, L) logits and
         # (M, R, H) gating hidden activations are the training-memory hot
         # spot; remat recomputes them per chunk in the backward pass instead
