@@ -237,6 +237,11 @@ class TrainConfig(_Base):
     full_eval_every_n: int = 1
     partial_eval_num_iters: int = 32
     save_ckpt_every_n: int = 1000
+    # One-pass Pallas AdamW for large embedding tables — exact optax.adamw
+    # math (parity-tested), ~3x less optimizer HBM time at Books scale.
+    # Changes the optimizer-state pytree layout (checkpoints are not
+    # interchangeable across this flag).
+    fused_optimizer: bool = True
     # Precision.
     main_module_bf16: bool = False
     eval_bf16: bool = False

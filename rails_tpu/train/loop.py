@@ -45,6 +45,13 @@ def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
         )
     else:
         schedule = t.learning_rate
+    if getattr(t, "fused_optimizer", False):
+        from rails_tpu.train.fused_adamw import fused_adamw
+
+        return fused_adamw(
+            schedule, b1=t.beta1, b2=t.beta2, eps=1e-8,
+            weight_decay=t.weight_decay,
+        )
     return optax.adamw(
         learning_rate=schedule,
         b1=t.beta1,
