@@ -237,6 +237,21 @@ def test_loss_wiring_matches_xla_at_zero_dropout():
     assert checked > 10
 
 
+def test_fused_flag_falls_back_for_unsupported_configs():
+    """fused_mol_loss=True with an in-batch sampler (unsupported) must fall
+    back to the XLA path and produce the identical loss."""
+    cfg_base = _small_cfg(fused=False).replace()
+    cfg_base = cfg_base.replace(
+        train=cfg_base.train.replace(sampling_strategy="in-batch")
+    )
+    cfg_fused = cfg_base.replace(
+        train=cfg_base.train.replace(fused_mol_loss=True)
+    )
+    l_x, _ = _loss_and_grads(cfg_base)
+    l_f, _ = _loss_and_grads(cfg_fused)
+    assert l_x == l_f
+
+
 def test_loss_wiring_dropout_train_step_runs():
     from rails_tpu.core.config import get_experiment_config
     from rails_tpu.data.datasets import (
