@@ -112,6 +112,12 @@ def main(argv=None) -> None:
     )
     if args.fused_train:
         cfg = cfg.replace(hstu=cfg.hstu.replace(fused_train=True))
+    if cfg.train.fused_mol_loss and not cfg.train.shared_negatives:
+        raise SystemExit(
+            "--fused-mol-loss requires --shared-negatives (the fused kernel "
+            "scores one shared negative set); without it the XLA path would "
+            "run and its numbers would be misattributed to the fused kernel"
+        )
     seqs = generate_synthetic_sequences(
         num_users=cfg.data.synthetic_num_users, num_items=args.num_items,
         max_len=64, seed=0,

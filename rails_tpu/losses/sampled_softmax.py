@@ -56,10 +56,16 @@ def _fused_negative_logits(
         w2=gq["out"]["kernel"],
         b2=gq["out"]["bias"][None, :],
     )
-    seed = jax.random.randint(
-        model.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max,
-        dtype=jnp.int32,
-    )
+    if c.softmax_dropout_rate > 0.0 or c.gating_qi_dropout_rate > 0.0:
+        seed = jax.random.randint(
+            model.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max,
+            dtype=jnp.int32,
+        )
+    else:
+        # No dropout → the hash stream is inert; don't require a "dropout"
+        # rng the XLA path wouldn't have consumed either (flax Dropout
+        # short-circuits at rate 0).
+        seed = jnp.int32(0)
     fused = make_fused_mol_loss(
         p_q=c.query_dot_product_groups,
         p_x=c.item_dot_product_groups,

@@ -47,18 +47,27 @@ _QI_SALT = np.int32(-1498392781)                          # 0xA6AC5333
 _PI_SALT = np.int32(-1789569707)                          # 0x95555555
 
 
-def _murmur31(h):
-    h = h ^ jax.lax.shift_right_logical(h, 16)
-    h = h * np.int32(-2048144789)                             # 0x85EBCA6B
-    h = h ^ jax.lax.shift_right_logical(h, 13)
-    h = h * np.int32(-1028477387)                             # 0xC2B2AE35
-    h = h ^ jax.lax.shift_right_logical(h, 16)
-    return h & np.int32(0x7FFFFFFF)
+def _i32(v: int) -> np.int32:
+    """Python int -> int32 with two's-complement wrapping (NumPy 2 raises
+    OverflowError on out-of-range np.int32(...) instead of wrapping; the
+    hash only needs CONSISTENT wrapping between kernel and XLA replica)."""
+    v &= 0xFFFFFFFF
+    return np.int32(v - (1 << 32) if v >= (1 << 31) else v)
 
 
 def _keep_from_idx(idx, seed_expr, salt, rate):
-    """Scaled keep mask (0 or 1/(1-rate)) from a global flat index."""
-    bits = _murmur31(idx * np.int32(-1640531535) + seed_expr + salt)
+    """Scaled keep mask (0 or 1/(1-rate)) from a global flat index.
+
+    Same murmur3-finalizer scheme as `hstu_block_train._hash_keep` —
+    counter-based so identical bits regenerate in the backward and the code
+    runs under CPU interpret mode."""
+    h = idx * np.int32(-1640531535) + seed_expr + salt    # 0x9E3779B1
+    h = h ^ jax.lax.shift_right_logical(h, 16)
+    h = h * np.int32(-2048144789)                         # 0x85EBCA6B
+    h = h ^ jax.lax.shift_right_logical(h, 13)
+    h = h * np.int32(-1028477387)                         # 0xC2B2AE35
+    h = h ^ jax.lax.shift_right_logical(h, 16)
+    bits = h & np.int32(0x7FFFFFFF)
     thresh = np.int32(min(int(rate * 2.0 ** 31), 2 ** 31 - 1))
     return (bits >= thresh).astype(jnp.float32) * (1.0 / (1.0 - rate))
 
@@ -69,7 +78,7 @@ def hash_keep_global(seed, salt, l, m, r, rate):
     row = jax.lax.broadcasted_iota(jnp.int32, (l, m, r), 0)
     mi = jax.lax.broadcasted_iota(jnp.int32, (l, m, r), 1)
     ci = jax.lax.broadcasted_iota(jnp.int32, (l, m, r), 2)
-    idx = row * np.int32(m * r) + mi * np.int32(r) + ci
+    idx = row * _i32(m * r) + mi * _i32(r) + ci
     return _keep_from_idx(idx, seed.astype(jnp.int32), salt, rate)
 
 
@@ -77,7 +86,7 @@ def _block_mask(seed_ref, pid, rows, g, r, m_total, salt, rate):
     """In-kernel (rows, G*R) mask slice of the global (rows, M, R) stream."""
     row = jax.lax.broadcasted_iota(jnp.int32, (rows, g * r), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (rows, g * r), 1)
-    idx = row * np.int32(m_total * r) + pid * np.int32(g * r) + col
+    idx = row * _i32(m_total * r) + pid * _i32(g * r) + col
     return _keep_from_idx(idx, seed_ref[0, 0], salt, rate)
 
 
@@ -445,7 +454,6 @@ def make_fused_mol_loss(
     core.defvjp(_core_fwd, _core_bwd)
 
     perm = m_major_perm(p_q, p_x)
-    inv_perm = np.argsort(perm)
 
     def fused(q_comp, query_partial, item_comp, item_partial,
               weights: MoLKernelWeights, seed):

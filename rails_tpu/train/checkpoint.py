@@ -71,14 +71,31 @@ def restore_checkpoint(
         "epoch": np.asarray(0),
         "batch_id": np.asarray(0),
     }
-    import orbax.checkpoint as ocp
+    import logging
 
-    restored = _ckptr().restore(
-        os.path.abspath(path), item=reference
-    )
+    try:
+        restored = _ckptr().restore(os.path.abspath(path), item=reference)
+        opt_state = restored["opt_state"]
+    except Exception:
+        # Optimizer-state layout mismatch — e.g. a checkpoint written before
+        # `train.fused_optimizer` existed (optax.adamw chain state) restored
+        # into a FusedAdamWState reference, or vice versa. Params/step/epoch
+        # layouts are stable across that flag, so restore those and keep the
+        # fresh optimizer state: eval is unaffected; a training RESUME loses
+        # the Adam moments (logged — rerun with the matching
+        # `train.fused_optimizer` setting for an exact resume).
+        raw = _ckptr().restore(os.path.abspath(path))
+        restored = {k: raw[k] for k in ("params", "step", "epoch", "batch_id")}
+        opt_state = reference_state.opt_state
+        logging.warning(
+            "checkpoint %s: optimizer state layout does not match the "
+            "current `train.fused_optimizer` setting; restored params only "
+            "(fresh optimizer moments). Set the flag to match the run that "
+            "wrote the checkpoint for an exact resume.", path,
+        )
     state = TrainState(
         params=restored["params"],
-        opt_state=restored["opt_state"],
+        opt_state=opt_state,
         step=jax.numpy.asarray(restored["step"]),
     )
     return state, int(restored["epoch"]), int(restored["batch_id"])

@@ -50,6 +50,44 @@ class TestCheckpoint:
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
+    def test_restore_across_optimizer_layout_change(self, tmp_path):
+        """A checkpoint saved under one `train.fused_optimizer` setting must
+        still restore params (fresh optimizer moments) under the other —
+        old checkpoints stay evaluable after the default flip."""
+        cfg = get_experiment_config("synthetic-small")
+        cfg = cfg.replace(
+            data=cfg.data.replace(synthetic_num_users=32, synthetic_num_items=60),
+            train=cfg.train.replace(
+                local_batch_size=8, num_negatives=8, fused_optimizer=False,
+            ),
+        )
+        ds = get_reco_dataset(cfg.data)
+        batch = next(
+            ds.train_dataset.batches(
+                batch_size=8, max_output_length=cfg.train.gr_output_length + 1,
+                shuffle=False,
+            )
+        )
+        model, state, train_step, _ = create_train_state(
+            cfg, ds.max_item_id, ds.all_item_ids, batch
+        )
+        state, _ = train_step(state, batch, jax.random.PRNGKey(0))
+        path = save_checkpoint(str(tmp_path), state, epoch=1, batch_id=2)
+
+        cfg2 = cfg.replace(train=cfg.train.replace(fused_optimizer=True))
+        _, fresh, _, _ = create_train_state(
+            cfg2, ds.max_item_id, ds.all_item_ids, batch, seed=999
+        )
+        restored, epoch, batch_id = restore_checkpoint(path, fresh)
+        assert epoch == 1 and batch_id == 2
+        for a, b in zip(
+            jax.tree_util.tree_leaves(restored.params),
+            jax.tree_util.tree_leaves(state.params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        # optimizer state is the fresh layout (count present and zero)
+        assert int(restored.opt_state.count) == 0
+
     def test_restored_model_same_outputs(self, tmp_path):
         cfg = get_experiment_config("synthetic-small")
         cfg = cfg.replace(
