@@ -134,6 +134,53 @@ def test_fused_matches_replica_fwd_and_grads(pi_rate, qi_rate, m, r):
         assert np.max(np.abs(a - b)) < 0.05 * scale
 
 
+def test_books_geometry_matches_replica():
+    """The published Books MoL geometry (P_Q=8, P_X=8, d_P=32, L=64, H=128,
+    R=512) through the kernel at a small M — guards the lane/sublane layout
+    at the real shapes, not just the toy ones above."""
+    p_q, p_x, d_p, h, r, m = 8, 8, 32, 128, 512, 16
+    l = p_q * p_x
+    ks = jax.random.split(jax.random.PRNGKey(11), 8)
+    q_comp = jax.random.normal(ks[0], (m, p_q, d_p))
+    qp = jax.random.normal(ks[1], (m, l))
+    i_comp = jax.random.normal(ks[2], (r, p_x, d_p))
+    ip = jax.random.normal(ks[3], (r, l))
+    # l2-normalize components as every published config does — keeps the
+    # kernel-vs-replica delta at accumulation-order noise rather than
+    # temperature-amplified magnitudes.
+    q_comp = q_comp / jnp.linalg.norm(q_comp, axis=-1, keepdims=True)
+    i_comp = i_comp / jnp.linalg.norm(i_comp, axis=-1, keepdims=True)
+    w = MoLKernelWeights(
+        w1=jax.random.normal(ks[4], (l, h)) * 0.2,
+        b1=jax.random.normal(ks[5], (1, h)) * 0.1,
+        w2=jax.random.normal(ks[6], (h, l)) * 0.2,
+        b2=jax.random.normal(ks[7], (1, l)) * 0.1,
+    )
+    seed = jnp.int32(7)
+    fused = make_fused_mol_loss(
+        p_q=p_q, p_x=p_x, temperature=0.05,
+        softmax_dropout_rate=0.2, qi_dropout_rate=0.0, eps=1e-6, block_q=8,
+    )
+    out_k = np.asarray(fused(q_comp, qp, i_comp, ip, w, seed))
+
+    perm = m_major_perm(p_q, p_x)
+    inv = np.argsort(perm)
+    from rails_tpu.ops.pallas.mol_loss_train import _PI_SALT as PI
+    t = jnp.einsum("mnd,xid->nimx", q_comp, i_comp).reshape(l, m, r) / 0.05
+    z = jnp.einsum("lh,lmx->hmx", w.w1, t) + w.b1[0][:, None, None]
+    qi = jnp.einsum(
+        "hl,hmx->lmx", w.w2, z * _sigmoid_tanh(z)
+    ) + w.b2[0][:, None, None]
+    gi = qp.T[:, :, None] * ip.T[:, None, :] + qi
+    gw = gi * _sigmoid_tanh(gi)
+    p = jax.nn.softmax(gw, axis=0)
+    mask = hash_keep_global(seed, PI, l, m, r, 0.2)[inv]
+    q_w = p * mask
+    s = jnp.maximum(jnp.sum(q_w, axis=0), 1e-6)
+    out_r = np.asarray(jnp.sum(q_w * t, axis=0) / s)
+    np.testing.assert_allclose(out_k, out_r, rtol=3e-4, atol=3e-4)
+
+
 def test_fused_bf16_runs_and_tracks_f32():
     key = jax.random.PRNGKey(3)
     q_comp, qp, i_comp, ip, w = _rand_inputs(key, 16, 128)
