@@ -327,3 +327,25 @@ class TestDataParallelTraining:
         # Gradients were applied: params changed on every shard identically.
         leaves = jax.tree_util.tree_leaves(new_state.params)
         assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+    def test_dp_step_with_fused_kernels(self, trained):
+        """Fused HSTU train blocks + fused MoL loss compile and run under a
+        data-parallel mesh (the dryrun's tiny config leaves them off, so
+        this is the only mesh coverage of the Pallas training paths)."""
+        cfg, ds, model, params, batches = trained
+        cfg = cfg.replace(
+            hstu=cfg.hstu.replace(fused_train=True),
+            train=cfg.train.replace(
+                shared_negatives=True, fused_mol_loss=True,
+            ),
+        )
+        mesh = make_mesh(MeshConfig(data_parallel=8, item_parallel=1))
+        _, state, train_step, _ = create_train_state(
+            cfg, ds.max_item_id, ds.all_item_ids, batches[0]
+        )
+        state = replicate(state, mesh)
+        batch_sharded = shard_batch(batches[0], mesh)
+        new_state, metrics = train_step(state, batch_sharded, jax.random.PRNGKey(3))
+        assert np.isfinite(float(metrics["loss"]))
+        leaves = jax.tree_util.tree_leaves(new_state.params)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
