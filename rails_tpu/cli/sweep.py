@@ -131,6 +131,11 @@ def main(argv=None) -> None:
         "--item-parallel", type=int, default=1,
         help="shard the corpus over N mesh devices (distributed top-k merge)",
     )
+    p.add_argument(
+        "--extra-algorithms", nargs="*", default=[],
+        help="append methods beyond the reference menu (e.g. "
+        "MoLBruteForceTopKFused MoLIVFTopK16)",
+    )
     args = p.parse_args(argv)
 
     from rails_tpu.cli.train import apply_override
@@ -170,6 +175,7 @@ def main(argv=None) -> None:
         a for a in algorithms
         if not (a.startswith("MoLAvgTopK") and int(a[len("MoLAvgTopK"):]) > x)
     ]
+    algorithms += [a for a in args.extra_algorithms if a not in algorithms]
     rows = run_sweep(
         cfg, ds, model, state.params, algorithms, eval_batches,
         include_eval_time=not args.no_eval_time,
