@@ -122,6 +122,32 @@ def test_config_override_parsing():
     assert cfg.hstu.fused_inference is True
 
 
+def test_registry_builds_every_config_and_fast_variants():
+    """Every registry name constructs; `-fast` variants keep the base
+    geometry and only flip the measured throughput stack (shared negatives
+    + fused Pallas MoL loss)."""
+    from rails_tpu.core.config import get_experiment_config, list_experiment_configs
+
+    names = list_experiment_configs()
+    for name in names:
+        get_experiment_config(name)
+
+    for base_name in ("ml-1m-hstu-mol", "ml-20m-hstu-mol", "amzn-books-hstu-mol"):
+        fast_name = base_name + "-fast"
+        assert fast_name in names
+        base = get_experiment_config(base_name)
+        fast = get_experiment_config(fast_name)
+        assert fast.train.shared_negatives is True
+        assert fast.train.fused_mol_loss is True
+        # Identical everywhere else: same model/similarity geometry and
+        # training hyperparameters.
+        assert fast.name == base.name + "-fast"
+        assert fast.replace(
+            name=base.name,
+            train=fast.train.replace(shared_negatives=False, fused_mol_loss=False),
+        ) == base
+
+
 def test_eval_cli_sort_by_length_matches_unsorted(capsys):
     """--sort-by-length (length-bucketed truncated serving) must produce
     identical metrics: ordering and padding length never change scores."""
