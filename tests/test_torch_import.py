@@ -1,0 +1,224 @@
+"""Checkpoint-importer tests: a reference torch checkpoint (saved exactly as
+`/root/reference/train.py:538-547` does, DDP `module.` prefix included) is
+converted by `rails_tpu/compat/torch_import.py` and must reproduce the
+reference model's outputs — the migration path for users bringing trained
+reference weights over without retraining."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp
+
+from rails_tpu.compat.torch_import import (
+    import_torch_checkpoint,
+    params_from_reference_state_dict,
+)
+from rails_tpu.models.encoder import SequentialRecommender
+from tests import test_torch_parity_model as pm
+from tests.torch_ref import t2j
+
+
+def _save_reference_ckpt(ref, path, epoch=7, batch_id=13, legacy=False):
+    sd = {f"module.{k}": v for k, v in ref.state_dict().items()}
+    if legacy:
+        sd = {
+            k.replace(
+                "_ndp_module._item_embeddings_fn._item_emb_proj_module",
+                "_ndp_module._item_proj_module",
+            ): v
+            for k, v in sd.items()
+        }
+    torch.save(
+        {
+            "epoch": epoch,
+            "batch_id": batch_id,
+            "model_state_dict": sd,
+            "optimizer_state_dict": {},
+        },
+        path,
+    )
+
+
+class TestHSTUImport:
+    def test_imported_params_reproduce_reference_encode(self, tmp_path):
+        ref = pm._build_ref_hstu()
+        path = str(tmp_path / "ref_ep7")
+        _save_reference_ckpt(ref, path)
+
+        cfg = pm._experiment_cfg("HSTU")
+        params, epoch, batch_id = import_torch_checkpoint(path, cfg)
+        assert (epoch, batch_id) == (7, 13)
+
+        model = SequentialRecommender(cfg, num_items=pm.NUM_ITEMS)
+        lengths, ids, ts, uids = pm._features(seed=3)
+        ref_out = pm._ref_encode(ref, lengths, ids, ts)
+        my_out = model.apply(
+            params, pm._my_features(lengths, ids, ts, uids), method=model.encode
+        )
+        np.testing.assert_allclose(
+            np.asarray(my_out), t2j(ref_out), rtol=1e-4, atol=2e-5
+        )
+
+    def test_legacy_item_proj_layout(self, tmp_path):
+        """Pre-rename checkpoints (`eval_from_checkpoint.py:366-374`) import
+        identically."""
+        ref = pm._build_ref_hstu()
+        path = str(tmp_path / "ref_legacy")
+        _save_reference_ckpt(ref, path, legacy=True)
+        cfg = pm._experiment_cfg("HSTU")
+        params, _, _ = import_torch_checkpoint(path, cfg)
+        want = pm._hstu_params_from_torch(ref)
+        got = params["params"]
+        np.testing.assert_allclose(
+            got["mol"]["item_proj"]["out"]["kernel"],
+            want["mol"]["item_proj"]["out"]["kernel"],
+        )
+
+    def test_importer_matches_live_module_transplant(self, tmp_path):
+        """The state-dict-driven conversion equals the live-module transplant
+        used by the parity tests, leaf for leaf."""
+        import jax
+
+        ref = pm._build_ref_hstu()
+        cfg = pm._experiment_cfg("HSTU")
+        got = params_from_reference_state_dict(ref.state_dict(), cfg)["params"]
+        want = pm._hstu_params_from_torch(ref)
+        g_flat = jax.tree_util.tree_flatten_with_path(got)[0]
+        w_flat = jax.tree_util.tree_flatten_with_path(want)[0]
+        assert [k for k, _ in g_flat] == [k for k, _ in w_flat]
+        for (kp, g), (_, w) in zip(g_flat, w_flat):
+            np.testing.assert_array_equal(g, np.asarray(w), err_msg=str(kp))
+
+    def test_geometry_mismatch_raises_with_paths(self, tmp_path):
+        ref = pm._build_ref_hstu()
+        bad_cfg = pm._experiment_cfg("HSTU")
+        bad_cfg = bad_cfg.replace(hstu=bad_cfg.hstu.replace(dqk=8))
+        with pytest.raises(ValueError, match="shape mismatch"):
+            params_from_reference_state_dict(ref.state_dict(), bad_cfg)
+
+    def test_unconsumed_keys_raise_unless_no_strict(self):
+        ref = pm._build_ref_hstu()
+        sd = dict(ref.state_dict())
+        sd["_some_new_module.weight"] = torch.zeros(3)
+        cfg = pm._experiment_cfg("HSTU")
+        with pytest.raises(ValueError, match="not consumed"):
+            params_from_reference_state_dict(sd, cfg)
+        params_from_reference_state_dict(sd, cfg, strict=False)
+
+
+class TestSASRecImport:
+    def test_imported_params_reproduce_reference_encode(self, tmp_path):
+        ref = pm._build_ref_sasrec()
+        path = str(tmp_path / "ref_sasrec")
+        _save_reference_ckpt(ref, path, epoch=2, batch_id=0)
+        cfg = pm._experiment_cfg("SASRec")
+        params, epoch, _ = import_torch_checkpoint(path, cfg)
+        assert epoch == 2
+
+        model = SequentialRecommender(cfg, num_items=pm.NUM_ITEMS)
+        lengths, ids, ts, uids = pm._features(seed=5)
+        ref_out = pm._ref_encode(ref, lengths, ids, ts)
+        my_out = model.apply(
+            params, pm._my_features(lengths, ids, ts, uids), method=model.encode
+        )
+        np.testing.assert_allclose(
+            np.asarray(my_out), t2j(ref_out), rtol=1e-4, atol=2e-5
+        )
+
+
+class TestImportCLI:
+    def test_cli_writes_restorable_orbax_checkpoint(self, tmp_path):
+        """End to end: reference torch ckpt -> import CLI -> Orbax ckpt ->
+        `restore_checkpoint` into a fresh train state; restored params equal
+        the direct conversion."""
+        import jax
+
+        from rails_tpu.cli.import_checkpoint import main as import_main
+        from rails_tpu.core.config import get_experiment_config
+        from rails_tpu.models.encoder import SequentialRecommender as SR
+
+        cfg = get_experiment_config("synthetic-small")
+        num_items = cfg.data.synthetic_num_items
+
+        # Build a reference model at the synthetic-small geometry.
+        from modeling.sequential.hstu import HSTU
+        from tests.torch_ref import make_reference_mol
+
+        torch.manual_seed(11)
+        import modeling.sequential.embedding_modules as em
+        import modeling.sequential.input_features_preprocessors as ip
+        import modeling.sequential.output_postprocessors as op
+
+        n = cfg.max_seq_len_padded
+        d = cfg.train.item_embedding_dim
+        ref = HSTU(
+            max_sequence_len=cfg.data.max_sequence_length + 1,
+            max_output_len=cfg.train.gr_output_length,
+            embedding_dim=d,
+            num_blocks=cfg.hstu.num_blocks,
+            num_heads=cfg.hstu.num_heads,
+            linear_dim=cfg.hstu.dv,
+            attention_dim=cfg.hstu.dqk,
+            normalization="rel_bias",
+            linear_config="uvqk",
+            linear_activation="silu",
+            linear_dropout_rate=0.0,
+            attn_dropout_rate=0.0,
+            embedding_module=em.LocalEmbeddingModule(
+                num_items=num_items, item_embedding_dim=d
+            ),
+            similarity_module=make_reference_mol(torch, cfg.mol, d, d),
+            input_features_preproc_module=(
+                ip.LearnablePositionalEmbeddingInputFeaturesPreprocessor(
+                    max_sequence_len=n, embedding_dim=d, dropout_rate=0.0
+                )
+            ),
+            output_postproc_module=op.L2NormEmbeddingPostprocessor(
+                embedding_dim=d, eps=1e-6
+            ),
+            enable_relative_attention_bias=True,
+            concat_ua=False,
+            verbose=False,
+        )
+        ref.eval()
+        torch_path = str(tmp_path / "torch_ep4")
+        _save_reference_ckpt(ref, torch_path, epoch=4, batch_id=0)
+
+        out_dir = str(tmp_path / "imported")
+        import_main(["--config", "synthetic-small", "--ckpt", torch_path,
+                     "--out", out_dir])
+
+        # Restore through the standard path used by cli/eval.py.
+        from rails_tpu.data.datasets import get_reco_dataset
+        from rails_tpu.train.checkpoint import restore_checkpoint
+        from rails_tpu.train.loop import create_train_state
+
+        ds = get_reco_dataset(cfg.data, str(tmp_path))
+        batch = next(
+            ds.train_dataset.batches(
+                batch_size=cfg.train.local_batch_size,
+                max_output_length=cfg.train.gr_output_length + 1,
+            )
+        )
+        _, state, _, _ = create_train_state(
+            cfg, ds.max_item_id, ds.all_item_ids, batch
+        )
+        state, epoch, _ = restore_checkpoint(out_dir + "/ckpts/ep4", state)
+        assert epoch == 4
+
+        direct = params_from_reference_state_dict(
+            ref.state_dict(), cfg, num_items=num_items
+        )
+        restored_leaves = jax.tree_util.tree_flatten_with_path(state.params)[0]
+        direct_map = {
+            jax.tree_util.keystr(kp): v
+            for kp, v in jax.tree_util.tree_flatten_with_path(direct)[0]
+        }
+        assert len(restored_leaves) == len(direct_map)
+        for kp, v in restored_leaves:
+            np.testing.assert_allclose(
+                np.asarray(v), np.asarray(direct_map[jax.tree_util.keystr(kp)]),
+                rtol=1e-6, err_msg=jax.tree_util.keystr(kp),
+            )
