@@ -52,8 +52,13 @@ def apply_override(cfg: ExperimentConfig, dotted: str, raw_value: str) -> Experi
 def parse_config(argv=None) -> argparse.Namespace:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument(
-        "--config", required=True,
+        "--config", default=None,
         help=f"experiment name, one of {list_experiment_configs()}",
+    )
+    p.add_argument(
+        "--gin-config-file", default=None,
+        help="a reference .gin config file to import instead of --config "
+        "(rails_tpu/compat/gin_import.py)",
     )
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                    help="dotted config override, e.g. train.learning_rate=3e-4")
@@ -70,7 +75,17 @@ def parse_config(argv=None) -> argparse.Namespace:
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
     args = p.parse_args(argv)
-    cfg = get_experiment_config(args.config)
+    if (args.config is None) == (args.gin_config_file is None):
+        p.error("exactly one of --config / --gin-config-file is required")
+    if args.gin_config_file is not None:
+        from rails_tpu.compat.gin_import import experiment_config_from_gin
+
+        result = experiment_config_from_gin(args.gin_config_file)
+        for line in result.ignored:
+            logging.info("gin import: ignored binding %s", line)
+        cfg = result.config
+    else:
+        cfg = get_experiment_config(args.config)
     for ov in args.set:
         key, _, val = ov.partition("=")
         cfg = apply_override(cfg, key, val)

@@ -453,10 +453,14 @@ def _synthetic_small() -> ExperimentConfig:
 
 
 def _sasrec_variant(base: ExperimentConfig, num_blocks: int, num_heads: int,
-                    ffn_hidden_dim: int, ffn_dropout: float) -> ExperimentConfig:
+                    ffn_hidden_dim: int, ffn_dropout: float,
+                    train_kw: Optional[Dict[str, Any]] = None,
+                    mol_kw: Optional[Dict[str, Any]] = None) -> ExperimentConfig:
     """SASRec+MoL variants (`configs/*/sasrec-mol-*.gin`): SASRec encoder,
-    weight decay 0, same MoL geometry as the HSTU variant."""
-    return base.replace(
+    weight decay 0, same MoL geometry as the HSTU variant. `train_kw` /
+    `mol_kw` carry the per-dataset bindings the gin files change vs the HSTU
+    base (pinned by tests/test_gin_import.py against the gin files)."""
+    cfg = base.replace(
         name=base.name.replace("hstu", "sasrec"),
         model_type="SASRec",
         sasrec=SASRecConfig(
@@ -467,13 +471,19 @@ def _sasrec_variant(base: ExperimentConfig, num_blocks: int, num_heads: int,
             ffn_dropout_rate=ffn_dropout,
             ffn_activation_fn="relu",
         ),
-        train=base.train.replace(weight_decay=0.0),
+        train=base.train.replace(weight_decay=0.0, **(train_kw or {})),
     )
+    if mol_kw:
+        cfg = cfg.replace(mol=cfg.mol.replace(**mol_kw))
+    return cfg
 
 
-def _dot_product_variant(base: ExperimentConfig) -> ExperimentConfig:
+def _dot_product_variant(
+    base: ExperimentConfig, train_kw: Optional[Dict[str, Any]] = None
+) -> ExperimentConfig:
     """Dot-product sampled-softmax baselines (`configs/*/hstu-sampled-softmax-*.gin`):
-    l2-normed user/item embeddings, temperature 0.05, MIPS top-k."""
+    l2-normed user/item embeddings, temperature 0.05, MIPS top-k. `train_kw`
+    carries per-dataset bindings the gin files change vs the MoL base."""
     return base.replace(
         name=base.name.split("-mol")[0] + "-dot",
         similarity_type="DotProduct",
@@ -483,6 +493,7 @@ def _dot_product_variant(base: ExperimentConfig) -> ExperimentConfig:
             item_l2_norm=True,
             top_k_method="MIPSBruteForceTopK",
             loss_weights=(),
+            **(train_kw or {}),
         ),
     )
 
@@ -508,13 +519,32 @@ _REGISTRY = {
     "ml-20m-hstu-mol": _ml_20m_hstu_mol,
     "amzn-books-hstu-mol": _amzn_books_hstu_mol,
     "ml-1m-sasrec-mol": lambda: _sasrec_variant(_ml_1m_hstu_mol(), 2, 1, 50, 0.2),
-    "ml-20m-sasrec-mol": lambda: _sasrec_variant(_ml_20m_hstu_mol(), 4, 4, 256, 0.2),
+    # ml-20m sasrec-mol gin additionally turns on bf16 eval + bf16 MoL
+    # training (`configs/ml-20m/sasrec-mol-...gin`: eval_bf16/bf16_training).
+    "ml-20m-sasrec-mol": lambda: _sasrec_variant(
+        _ml_20m_hstu_mol(), 4, 4, 256, 0.2,
+        train_kw={"eval_bf16": True}, mol_kw={"bf16_training": True},
+    ),
+    # Books sasrec gins differ from the HSTU base: fp32 main module,
+    # partial_eval_num_iters 64, save_ckpt_every_n 10.
     "amzn-books-sasrec-mol": lambda: _sasrec_variant(
-        _amzn_books_hstu_mol(), 4, 4, 64, 0.5
+        _amzn_books_hstu_mol(), 4, 4, 64, 0.5,
+        train_kw={"partial_eval_num_iters": 64, "save_ckpt_every_n": 10,
+                  "main_module_bf16": False},
     ),
     "ml-1m-hstu-dot": lambda: _dot_product_variant(_ml_1m_hstu_mol()),
-    "ml-20m-hstu-dot": lambda: _dot_product_variant(_ml_20m_hstu_mol()),
-    "amzn-books-hstu-dot": lambda: _dot_product_variant(_amzn_books_hstu_mol()),
+    # The ml-20m / books dot gins zero the weight decay (the ml-1m one keeps
+    # 1e-3); the books one also runs batch 128 in fp32-eval with default ckpt
+    # cadence.
+    "ml-20m-hstu-dot": lambda: _dot_product_variant(
+        _ml_20m_hstu_mol(), train_kw={"weight_decay": 0.0}
+    ),
+    "amzn-books-hstu-dot": lambda: _dot_product_variant(
+        _amzn_books_hstu_mol(),
+        train_kw={"local_batch_size": 128, "eval_batch_size": 128,
+                  "weight_decay": 0.0, "save_ckpt_every_n": 1000,
+                  "eval_bf16": False},
+    ),
     "ml-1m-sasrec-dot": lambda: _dot_product_variant(
         _sasrec_variant(_ml_1m_hstu_mol(), 2, 1, 50, 0.2)
     ),
@@ -522,7 +552,13 @@ _REGISTRY = {
         _sasrec_variant(_ml_20m_hstu_mol(), 4, 4, 256, 0.2)
     ),
     "amzn-books-sasrec-dot": lambda: _dot_product_variant(
-        _sasrec_variant(_amzn_books_hstu_mol(), 4, 4, 64, 0.5)
+        _sasrec_variant(
+            _amzn_books_hstu_mol(), 4, 4, 64, 0.5,
+            train_kw={"partial_eval_num_iters": 64, "save_ckpt_every_n": 10,
+                      "main_module_bf16": False},
+        ),
+        train_kw={"local_batch_size": 128, "eval_batch_size": 128,
+                  "eval_bf16": False},
     ),
     "ml-1m-hstu-mol-fast": lambda: _fast_variant(_ml_1m_hstu_mol()),
     "ml-20m-hstu-mol-fast": lambda: _fast_variant(_ml_20m_hstu_mol()),
