@@ -32,7 +32,10 @@ struct ParsedSequences {
 
 namespace {
 
-// Reads one bracketed int list "[a, b, c]" within [s, field_end).
+// Reads one bracketed numeric list "[a, b, c]" within [s, field_end).
+// Values may carry a fractional part (ML-20M / Amazon ratings are floats,
+// e.g. "4.0", "3.5"); it is truncated — exact for the integer-threshold
+// comparisons downstream (floor(r) >= t  <=>  r >= t for integer t, r >= 0).
 template <typename T>
 bool parse_int_list(const char* s, const char* field_end, std::vector<T>* out) {
   while (s < field_end && *s != '[' && *s != '(') s++;
@@ -44,6 +47,10 @@ bool parse_int_list(const char* s, const char* field_end, std::vector<T>* out) {
     char* end = nullptr;
     long long v = strtoll(s, &end, 10);
     if (end == s) return false;
+    if (end < field_end && *end == '.') {  // skip the fractional digits
+      end++;
+      while (end < field_end && *end >= '0' && *end <= '9') end++;
+    }
     out->push_back(static_cast<T>(v));
     s = end;
   }

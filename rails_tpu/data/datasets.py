@@ -366,9 +366,12 @@ def load_sasrec_format_csv(path: str, shift_id_by: int = 0) -> RaggedSequences:
             ids = np.fromstring(
                 rec["sequence_item_ids"].strip("[]()"), dtype=np.int64, sep=","
             )
+            # Ratings are floats in the raw ML-20M/Amazon data ("4.0",
+            # "3.5"); floor-cast is exact for the integer-threshold
+            # comparisons downstream (floor(r) >= t <=> r >= t, t int).
             rts = np.fromstring(
-                rec["sequence_ratings"].strip("[]()"), dtype=np.int64, sep=","
-            )
+                rec["sequence_ratings"].strip("[]()"), dtype=np.float64, sep=","
+            ).astype(np.int64)
             ts = np.fromstring(
                 rec["sequence_timestamps"].strip("[]()"), dtype=np.int64, sep=","
             )

@@ -47,6 +47,30 @@ def test_native_csv_parse(tmp_path):
     np.testing.assert_array_equal(seqs.timestamps, [100, 200, 300, 111, 222])
 
 
+def test_float_ratings_parse_in_both_paths(tmp_path, monkeypatch):
+    """Raw ML-20M / Amazon ratings are floats ("4.0", "3.5"); both the
+    native and the Python fallback parser must floor-cast them (exact for
+    the integer-threshold metric filters) instead of silently dropping
+    rows — a regression guard for the bug where float ratings produced an
+    EMPTY dataset."""
+    rows = [
+        (3, [1, 2, 3], [4.0, 3.5, 0.5], [10, 20, 30]),
+        (5, [7, 8], [5.0, 2.0], [40, 50]),
+    ]
+    path = _write_csv(str(tmp_path), rows)
+
+    nat = native.parse_sasrec_csv_native(path)
+    assert nat is not None and nat.num_users == 2
+    np.testing.assert_array_equal(nat.ratings, [4, 3, 0, 5, 2])
+
+    monkeypatch.setattr(native, "available", lambda: False)
+    py = load_sasrec_format_csv(path)
+    assert py.num_users == 2
+    np.testing.assert_array_equal(py.ratings, nat.ratings)
+    np.testing.assert_array_equal(py.item_ids, nat.item_ids)
+    np.testing.assert_array_equal(py.timestamps, nat.timestamps)
+
+
 def test_native_parse_matches_python(tmp_path):
     rng = np.random.default_rng(0)
     rows = []
