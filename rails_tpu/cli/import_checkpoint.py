@@ -36,14 +36,21 @@ def main(argv=None) -> None:
         "--no-strict", action="store_true",
         help="ignore reference keys the conversion does not consume",
     )
+    p.add_argument(
+        "--skip-optimizer", action="store_true",
+        help="do not import AdamW moments even when the checkpoint has them "
+        "(training then resumes with fresh moments)",
+    )
     args = p.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from rails_tpu.cli.train import apply_override
-    from rails_tpu.compat.torch_import import import_torch_checkpoint
+    from rails_tpu.compat.torch_import import (
+        import_torch_checkpoint,
+        import_torch_checkpoint_full,
+    )
     from rails_tpu.core.config import get_experiment_config
     from rails_tpu.train.checkpoint import save_checkpoint
     from rails_tpu.train.loop import TrainState, make_optimizer
@@ -53,15 +60,26 @@ def main(argv=None) -> None:
         key, _, val = ov.partition("=")
         cfg = apply_override(cfg, key, val)
 
-    params, epoch, batch_id = import_torch_checkpoint(
-        args.ckpt, cfg, num_items=args.num_items, strict=not args.no_strict
-    )
-    params = jax.tree_util.tree_map(jnp.asarray, params)
     optimizer = make_optimizer(cfg)
+    if args.skip_optimizer:
+        params, epoch, batch_id = import_torch_checkpoint(
+            args.ckpt, cfg, num_items=args.num_items,
+            strict=not args.no_strict,
+        )
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        opt_state, step = optimizer.init(params), 0
+    else:
+        params, opt_state, step, epoch, batch_id = import_torch_checkpoint_full(
+            args.ckpt, cfg, optimizer, num_items=args.num_items,
+            strict=not args.no_strict,
+        )
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        if step:
+            logging.info("imported AdamW moments at step %d", step)
     state = TrainState(
         params=params,
-        opt_state=optimizer.init(params),
-        step=jnp.asarray(np.int32(0)),
+        opt_state=opt_state,
+        step=jnp.asarray(step, jnp.int32),
     )
     ckpt_dir = os.path.join(args.out, "ckpts")
     os.makedirs(ckpt_dir, exist_ok=True)

@@ -21,10 +21,18 @@ geometry mismatch raises with the offending paths), and semantically by
 `tests/test_torch_import.py`, which round-trips reference models and asserts
 encoder outputs match output-for-output.
 
-Only model weights are imported. The reference's AdamW moments are keyed by
-parameter *position* in `opt.state_dict()`, which is brittle to reconstruct;
-optimizer state starts fresh (exactly what the reference's own
-`eval_from_checkpoint.py` uses — it never loads optimizer state either).
+Optimizer moments import too (`optimizer_state_from_reference`): the
+reference's AdamW state is keyed by parameter POSITION in
+`model.parameters()` order (`train.py:293-298`), which equals the
+state-dict key order with buffers removed — the same normalization this
+module already performs — so each `exp_avg`/`exp_avg_sq` is recovered by
+name and pushed through the identical tensor conversion as its parameter
+(every mapping is a permutation/transpose/stack, which commutes with the
+elementwise Adam update). This makes `--restore-from-ckpt` resume
+bit-for-bit mid-schedule; torch AdamW and optax.adamw apply the same
+decoupled weight-decay formula (p(1-lr·wd) - lr·û), verified by
+`tests/test_torch_import.py::TestOptimizerImport` stepping both optimizers
+on identical gradients.
 
 Torch is imported lazily and only needed when the input actually contains
 torch tensors; a state dict of numpy arrays converts without torch.
@@ -377,6 +385,88 @@ def _validate_against_fresh_init(
         )
 
 
+def optimizer_state_from_reference(
+    opt_state_dict: Dict[str, Any],
+    model_state_dict: Dict[str, Any],
+    cfg: ExperimentConfig,
+    params: dict,
+    optimizer,
+) -> Tuple[Any, int]:
+    """Convert a reference `optimizer_state_dict` (torch AdamW,
+    `train.py:293-298`) into this repo's optimizer state.
+
+    Returns (opt_state, step_count). Moments are mapped per-parameter by
+    recovering the position->name correspondence (parameters() order ==
+    buffer-stripped state-dict order) and running each moment tensor through
+    the same structural conversion as its parameter. Parameters the torch
+    state has not touched yet (lazy init) get zero moments.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    norm_keys = list(normalize_state_dict(model_state_dict))
+    order = [
+        idx
+        for group in opt_state_dict["param_groups"]
+        for idx in group["params"]
+    ]
+    assert len(order) == len(norm_keys), (
+        f"optimizer tracks {len(order)} params, model has {len(norm_keys)}"
+    )
+    key_of_idx = {idx: norm_keys[pos] for pos, idx in enumerate(order)}
+
+    state = opt_state_dict.get("state", {})
+    step = 0
+    moment_sds: Dict[str, Dict[str, np.ndarray]] = {
+        "exp_avg": {}, "exp_avg_sq": {}
+    }
+    norm_model = normalize_state_dict(model_state_dict)
+    for idx, key in key_of_idx.items():
+        entry = state.get(idx, state.get(str(idx)))
+        if entry is None:
+            zeros = np.zeros_like(norm_model[key])
+            moment_sds["exp_avg"][key] = zeros
+            moment_sds["exp_avg_sq"][key] = zeros
+        else:
+            step = max(step, int(_to_numpy(entry["step"])))
+            moment_sds["exp_avg"][key] = _to_numpy(entry["exp_avg"])
+            moment_sds["exp_avg_sq"][key] = _to_numpy(entry["exp_avg_sq"])
+
+    trees = {}
+    for name, sd in moment_sds.items():
+        tree = params_from_reference_state_dict(
+            sd, cfg, strict=True, validate=False
+        )
+        # Structural + shape check against the converted params.
+        chex_paths = jax.tree_util.tree_structure(tree)
+        assert chex_paths == jax.tree_util.tree_structure(params), name
+        trees[name] = jax.tree_util.tree_map(jnp.asarray, tree)
+
+    fresh = optimizer.init(jax.tree_util.tree_map(jnp.asarray, params))
+    count = jnp.asarray(step, jnp.int32)
+
+    def inject(node):
+        """Recursively rebuild the opt-state pytree, replacing Adam moment
+        containers (fields mu/nu) and stepping every count field."""
+        if hasattr(node, "_fields"):                       # NamedTuple
+            replacements = {}
+            for f in node._fields:
+                if f == "mu":
+                    replacements[f] = trees["exp_avg"]
+                elif f == "nu":
+                    replacements[f] = trees["exp_avg_sq"]
+                elif f == "count":
+                    replacements[f] = count.astype(getattr(node, f).dtype)
+                else:
+                    replacements[f] = inject(getattr(node, f))
+            return type(node)(**replacements)
+        if isinstance(node, tuple):
+            return tuple(inject(x) for x in node)
+        return node
+
+    return inject(fresh), step
+
+
 def import_torch_checkpoint(
     path: str,
     cfg: ExperimentConfig,
@@ -402,3 +492,37 @@ def import_torch_checkpoint(
         sd, cfg, num_items=num_items, strict=strict
     )
     return params, epoch, batch_id
+
+
+def import_torch_checkpoint_full(
+    path: str,
+    cfg: ExperimentConfig,
+    optimizer,
+    num_items: int | None = None,
+    strict: bool = True,
+) -> Tuple[dict, Any, int, int, int]:
+    """Like `import_torch_checkpoint`, but also converts the optimizer
+    moments when present. Returns (params, opt_state, step, epoch,
+    batch_id); opt_state is freshly initialized when the checkpoint carries
+    no optimizer state."""
+    import torch
+
+    payload = torch.load(path, map_location="cpu", weights_only=True)
+    sd = payload.get("model_state_dict", payload)
+    epoch = int(payload.get("epoch", 0))
+    batch_id = int(payload.get("batch_id", 0))
+    params = params_from_reference_state_dict(
+        sd, cfg, num_items=num_items, strict=strict
+    )
+    opt_sd = payload.get("optimizer_state_dict") or {}
+    if opt_sd.get("param_groups"):
+        opt_state, step = optimizer_state_from_reference(
+            opt_sd, sd, cfg, params, optimizer
+        )
+    else:
+        import jax
+        import jax.numpy as jnp
+
+        opt_state = optimizer.init(jax.tree_util.tree_map(jnp.asarray, params))
+        step = 0
+    return params, opt_state, step, epoch, batch_id

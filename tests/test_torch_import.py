@@ -128,6 +128,96 @@ class TestSASRecImport:
         )
 
 
+class TestOptimizerImport:
+    """AdamW moments import: after converting a mid-training reference
+    checkpoint (model + optimizer state), one further step on IDENTICAL
+    gradients must produce identical parameters in both frameworks — this
+    pins the moment mapping, the step/bias-correction count, and the
+    decoupled weight-decay formula all at once."""
+
+    def _torch_ckpt_after_k_steps(self, ref, k=3, lr=1e-3, wd=1e-3):
+        opt = torch.optim.AdamW(
+            ref.parameters(), lr=lr, betas=(0.9, 0.98), weight_decay=wd
+        )
+        g = torch.Generator().manual_seed(123)
+        for _ in range(k):
+            for p in ref.parameters():
+                p.grad = torch.randn(p.shape, generator=g, dtype=p.dtype)
+            opt.step()
+            opt.zero_grad()
+        return {
+            "epoch": 1,
+            "batch_id": 0,
+            "model_state_dict": {
+                f"module.{k_}": v for k_, v in ref.state_dict().items()
+            },
+            "optimizer_state_dict": opt.state_dict(),
+        }, opt
+
+    @pytest.mark.parametrize("fused", [False, True])
+    def test_one_step_after_import_matches_torch(self, tmp_path, fused):
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from rails_tpu.compat.torch_import import import_torch_checkpoint_full
+        from rails_tpu.train.loop import make_optimizer
+
+        ref = pm._build_ref_hstu()
+        payload, opt = self._torch_ckpt_after_k_steps(ref)
+        path = str(tmp_path / "mid_training")
+        torch.save(payload, path)
+
+        cfg = pm._experiment_cfg("HSTU")
+        cfg = cfg.replace(train=cfg.train.replace(fused_optimizer=fused))
+        optimizer = make_optimizer(cfg)
+        params, opt_state, step, _, _ = import_torch_checkpoint_full(
+            path, cfg, optimizer
+        )
+        assert step == 3
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+
+        # One more step, gradients = ones on BOTH sides (ones are invariant
+        # under the transpose/stack/slice conversions, so the two frameworks
+        # see the same per-element gradient).
+        for p in ref.parameters():
+            p.grad = torch.ones_like(p)
+        opt.step()
+
+        ones = jax.tree_util.tree_map(jnp.ones_like, params)
+        updates, _ = optimizer.update(ones, opt_state, params)
+        my_params2 = optax.apply_updates(params, updates)
+
+        want = params_from_reference_state_dict(ref.state_dict(), cfg)
+        got_flat = jax.tree_util.tree_flatten_with_path(my_params2)[0]
+        want_map = {
+            jax.tree_util.keystr(kp): v
+            for kp, v in jax.tree_util.tree_flatten_with_path(want)[0]
+        }
+        for kp, v in got_flat:
+            np.testing.assert_allclose(
+                np.asarray(v), want_map[jax.tree_util.keystr(kp)],
+                rtol=2e-5, atol=1e-7, err_msg=jax.tree_util.keystr(kp),
+            )
+
+    def test_missing_optimizer_state_initializes_fresh(self, tmp_path):
+        import jax
+
+        from rails_tpu.compat.torch_import import import_torch_checkpoint_full
+        from rails_tpu.train.loop import make_optimizer
+
+        ref = pm._build_ref_hstu()
+        path = str(tmp_path / "no_opt")
+        _save_reference_ckpt(ref, path)
+        cfg = pm._experiment_cfg("HSTU")
+        optimizer = make_optimizer(cfg)
+        params, opt_state, step, _, _ = import_torch_checkpoint_full(
+            path, cfg, optimizer
+        )
+        assert step == 0
+        assert jax.tree_util.tree_structure(opt_state) is not None
+
+
 class TestImportCLI:
     def test_cli_writes_restorable_orbax_checkpoint(self, tmp_path):
         """End to end: reference torch ckpt -> import CLI -> Orbax ckpt ->
