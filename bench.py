@@ -238,8 +238,11 @@ def main() -> None:
             res = run(bs)             # shrinking
             break
         except Exception as e:                        # noqa: BLE001
-            print(f"# bench at batch={bs} failed ({type(e).__name__}); retrying",
-                  flush=True)
+            print(
+                f"# bench at batch={bs} failed ({type(e).__name__}): "
+                f"{str(e)[:300].replace(chr(10), ' ')}; retrying",
+                flush=True,
+            )
     if res is None:
         raise SystemExit("bench failed at every batch size")
     qps = res["bucketed_qps"]
