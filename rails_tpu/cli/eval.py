@@ -59,7 +59,10 @@ def main(argv=None) -> None:
     if args.gin_config_file is not None:
         from rails_tpu.compat.gin_import import experiment_config_from_gin
 
-        cfg = experiment_config_from_gin(args.gin_config_file).config
+        result = experiment_config_from_gin(args.gin_config_file)
+        for line in result.ignored:
+            logging.info("gin import: ignored binding %s", line)
+        cfg = result.config
     else:
         cfg = get_experiment_config(args.config)
     for ov in args.set:

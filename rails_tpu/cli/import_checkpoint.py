@@ -4,9 +4,11 @@
         --config ml-1m-hstu-mol --ckpt /path/to/..._ep100 --out runs/imported
 
 writes `<out>/ckpts/ep<epoch>` restorable by `cli/eval.py --ckpt` and
-`cli/train.py --restore-from-ckpt` (training resumes at epoch+1 with fresh
-optimizer moments — the reference's own eval driver never restores optimizer
-state either, `eval_from_checkpoint.py:366-377`).
+`cli/train.py --restore-from-ckpt`. The reference's AdamW moments are
+imported too when present, so training resumes exactly mid-schedule; pass
+`--skip-optimizer` for fresh moments (what the reference's own eval driver
+uses, `eval_from_checkpoint.py:366-377`). A reference `.gin` config file
+can stand in for the registry name via `--gin-config-file`.
 
 Reference checkpoint format: `/root/reference/train.py:538-547`
 (torch.save of {epoch, batch_id, model_state_dict, optimizer_state_dict},
@@ -24,7 +26,11 @@ import sys
 def main(argv=None) -> None:
     logging.basicConfig(stream=sys.stdout, level=logging.INFO)
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--config", required=True)
+    p.add_argument("--config", default=None)
+    p.add_argument(
+        "--gin-config-file", default=None,
+        help="a reference .gin config file to import instead of --config",
+    )
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
     p.add_argument("--ckpt", required=True, help="reference torch checkpoint")
     p.add_argument("--out", required=True, help="output run directory")
@@ -55,7 +61,17 @@ def main(argv=None) -> None:
     from rails_tpu.train.checkpoint import save_checkpoint
     from rails_tpu.train.loop import TrainState, make_optimizer
 
-    cfg = get_experiment_config(args.config)
+    if (args.config is None) == (args.gin_config_file is None):
+        p.error("exactly one of --config / --gin-config-file is required")
+    if args.gin_config_file is not None:
+        from rails_tpu.compat.gin_import import experiment_config_from_gin
+
+        result = experiment_config_from_gin(args.gin_config_file)
+        for line in result.ignored:
+            logging.info("gin import: ignored binding %s", line)
+        cfg = result.config
+    else:
+        cfg = get_experiment_config(args.config)
     for ov in args.set:
         key, _, val = ov.partition("=")
         cfg = apply_override(cfg, key, val)

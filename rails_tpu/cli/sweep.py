@@ -120,7 +120,11 @@ def run_sweep(
 def main(argv=None) -> None:
     logging.basicConfig(stream=sys.stdout, level=logging.INFO)
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--config", required=True)
+    p.add_argument("--config", default=None)
+    p.add_argument(
+        "--gin-config-file", default=None,
+        help="a reference .gin config file to import instead of --config",
+    )
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
     p.add_argument("--ckpt", default=None)
     p.add_argument("--limit-users", type=int, default=8192)
@@ -144,7 +148,17 @@ def main(argv=None) -> None:
     from rails_tpu.train.checkpoint import restore_checkpoint
     from rails_tpu.train.loop import create_train_state
 
-    cfg = get_experiment_config(args.config)
+    if (args.config is None) == (args.gin_config_file is None):
+        p.error("exactly one of --config / --gin-config-file is required")
+    if args.gin_config_file is not None:
+        from rails_tpu.compat.gin_import import experiment_config_from_gin
+
+        result = experiment_config_from_gin(args.gin_config_file)
+        for line in result.ignored:
+            logging.info("gin import: ignored binding %s", line)
+        cfg = result.config
+    else:
+        cfg = get_experiment_config(args.config)
     for ov in args.set:
         key, _, val = ov.partition("=")
         cfg = apply_override(cfg, key, val)

@@ -102,11 +102,50 @@ def _fields(cls) -> set:
     return {f.name for f in dataclasses.fields(cls)}
 
 
+def _adopt_tpu_performance_fields(cfg: ExperimentConfig) -> ExperimentConfig:
+    """Copy the TPU-side performance toggles (fused kernels) from the
+    registry config with the same dataset/model/similarity, when one exists.
+
+    The gin surface describes reference semantics only; without this, a gin
+    import of the ml-20m HSTU config would silently skip `hstu.fused_train`
+    (the registry default after the convergence A/B) and train ~2x slower
+    than `--config ml-20m-hstu-mol`. Pinned by tests/test_gin_import.py,
+    which compares gin imports to registry configs WITHOUT masking these
+    fields."""
+    from rails_tpu.core.config import (
+        get_experiment_config,
+        list_experiment_configs,
+    )
+
+    for reg_name in list_experiment_configs():
+        if reg_name.endswith("-fast") or reg_name == "synthetic-small":
+            continue
+        reg = get_experiment_config(reg_name)
+        if (
+            reg.model_type == cfg.model_type
+            and reg.similarity_type == cfg.similarity_type
+            and reg.data.dataset_name == cfg.data.dataset_name
+        ):
+            return cfg.replace(
+                hstu=cfg.hstu.replace(
+                    fused_train=reg.hstu.fused_train,
+                    fused_inference=reg.hstu.fused_inference,
+                ),
+                train=cfg.train.replace(
+                    fused_optimizer=reg.train.fused_optimizer,
+                ),
+            )
+    return cfg
+
+
 def experiment_config_from_gin(
     path_or_text: str, name: str | None = None
 ) -> GinImportResult:
     """Build an `ExperimentConfig` from a reference gin file (path or text)."""
-    if "\n" not in path_or_text and not path_or_text.strip().startswith("#"):
+    import os
+
+    looks_like_text = "\n" in path_or_text or "=" in path_or_text
+    if os.path.exists(path_or_text) or not looks_like_text:
         with open(path_or_text) as f:
             text = f.read()
         if name is None:
@@ -187,4 +226,5 @@ def experiment_config_from_gin(
         train=TrainConfig(**sub["train"]),
         **top,
     )
+    cfg = _adopt_tpu_performance_fields(cfg)
     return GinImportResult(config=cfg, ignored=ignored, bindings=bindings)

@@ -12,8 +12,8 @@ the reference can bring trained weights over without retraining:
     params, epoch, batch_id = import_torch_checkpoint(path, cfg)
 
 or, end to end, `python -m rails_tpu.cli.import_checkpoint` which writes an
-Orbax checkpoint that `cli/eval.py --ckpt` / `cli/train.py --resume-from`
-restore directly.
+Orbax checkpoint that `cli/eval.py --ckpt` / `cli/train.py
+--restore-from-ckpt` restore directly.
 
 The mapping is validated structurally: the converted tree must match the
 shapes of a freshly initialized model for `cfg` exactly (any architecture /
@@ -59,6 +59,9 @@ _LEGACY_RENAMES = {
 def _to_numpy(v: Any) -> np.ndarray:
     if isinstance(v, np.ndarray):
         return v
+    if not hasattr(v, "detach"):
+        # Plain Python number — e.g. AdamW's `step` in torch<2.0 state dicts.
+        return np.asarray(v)
     # torch tensor (incl. bf16, which numpy cannot represent directly).
     t = v.detach().cpu()
     if str(t.dtype) == "torch.bfloat16":
@@ -404,7 +407,8 @@ def optimizer_state_from_reference(
     import jax
     import jax.numpy as jnp
 
-    norm_keys = list(normalize_state_dict(model_state_dict))
+    norm_model = normalize_state_dict(model_state_dict)
+    norm_keys = list(norm_model)
     order = [
         idx
         for group in opt_state_dict["param_groups"]
@@ -416,21 +420,32 @@ def optimizer_state_from_reference(
     key_of_idx = {idx: norm_keys[pos] for pos, idx in enumerate(order)}
 
     state = opt_state_dict.get("state", {})
-    step = 0
+    steps = set()
     moment_sds: Dict[str, Dict[str, np.ndarray]] = {
         "exp_avg": {}, "exp_avg_sq": {}
     }
-    norm_model = normalize_state_dict(model_state_dict)
+    missing = []
     for idx, key in key_of_idx.items():
         entry = state.get(idx, state.get(str(idx)))
         if entry is None:
-            zeros = np.zeros_like(norm_model[key])
-            moment_sds["exp_avg"][key] = zeros
-            moment_sds["exp_avg_sq"][key] = zeros
-        else:
-            step = max(step, int(_to_numpy(entry["step"])))
-            moment_sds["exp_avg"][key] = _to_numpy(entry["exp_avg"])
-            moment_sds["exp_avg_sq"][key] = _to_numpy(entry["exp_avg_sq"])
+            missing.append(key)
+            continue
+        steps.add(int(_to_numpy(entry["step"])))
+        moment_sds["exp_avg"][key] = _to_numpy(entry["exp_avg"])
+        moment_sds["exp_avg_sq"][key] = _to_numpy(entry["exp_avg_sq"])
+    # torch AdamW keeps a PER-PARAM step and initializes state lazily; the
+    # optax/fused layouts carry ONE count. Divergent or missing per-param
+    # steps cannot be represented — zero moments with the global count would
+    # silently wreck that param's bias correction — so refuse loudly.
+    if missing or len(steps) > 1:
+        raise ValueError(
+            "reference optimizer state is not representable with a single "
+            f"step count (params never stepped: {missing[:4]}"
+            f"{'...' if len(missing) > 4 else ''}; distinct steps: "
+            f"{sorted(steps)}). Import the model weights only "
+            "(--skip-optimizer / import_torch_checkpoint)."
+        )
+    step = steps.pop() if steps else 0
 
     trees = {}
     for name, sd in moment_sds.items():

@@ -36,16 +36,11 @@ pytestmark = pytest.mark.skipif(
 
 
 def _normalize(cfg):
-    """Strip fields that are deliberately TPU-side choices with no gin
-    counterpart (fused-kernel toggles) plus the name, leaving the full
-    reference-semantics surface for comparison."""
-    return cfg.replace(
-        name="x",
-        hstu=cfg.hstu.replace(fused_train=False, fused_inference=False),
-        train=cfg.train.replace(
-            fused_optimizer=True, shared_negatives=False, fused_mol_loss=False,
-        ),
-    )
+    """Mask only the name: gin imports adopt the registry's TPU performance
+    toggles (`_adopt_tpu_performance_fields`), so the comparison covers the
+    fused-kernel fields too — a gin import must behave EXACTLY like its
+    named registry twin, fused paths included."""
+    return cfg.replace(name="x")
 
 
 @pytest.mark.parametrize("gin_path,registry_name", sorted(GIN_TO_REGISTRY.items()))
@@ -149,3 +144,20 @@ def test_text_input_and_loss_weights_dict():
     cfg = experiment_config_from_gin(text).config
     assert cfg.data.dataset_name == "ml-1m"
     assert cfg.train.loss_weights == (("mi_loss", 0.001),)
+
+
+def test_single_line_text_without_newline_parses_as_text():
+    cfg = experiment_config_from_gin("train_fn.learning_rate = 3e-4").config
+    assert cfg.train.learning_rate == 3e-4
+
+
+def test_gin_import_adopts_registry_fused_defaults():
+    """A gin-imported ml-20m HSTU config must run the same fused-kernel
+    stack as `--config ml-20m-hstu-mol` (fused_train is a registry default
+    after the convergence A/B, not a gin binding)."""
+    cfg = experiment_config_from_gin(
+        f"{REF}/ml-20m/hstu-mol-sampled-softmax-n128-8x4x128-rails-final.gin"
+    ).config
+    reg = get_experiment_config("ml-20m-hstu-mol")
+    assert cfg.hstu.fused_train == reg.hstu.fused_train
+    assert cfg.train.fused_optimizer == reg.train.fused_optimizer

@@ -200,6 +200,58 @@ class TestOptimizerImport:
                 rtol=2e-5, atol=1e-7, err_msg=jax.tree_util.keystr(kp),
             )
 
+    def test_old_torch_int_step_entries_convert(self, tmp_path):
+        """torch<2.0 stores AdamW `step` as a plain Python number; the
+        import must accept it (checkpoints from the reference's 2023-era
+        torch are the primary migration target)."""
+        from rails_tpu.compat.torch_import import optimizer_state_from_reference
+        from rails_tpu.train.loop import make_optimizer
+
+        ref = pm._build_ref_hstu()
+        payload, _ = self._torch_ckpt_after_k_steps(ref, k=1)
+        opt_sd = payload["optimizer_state_dict"]
+        for entry in opt_sd["state"].values():
+            entry["step"] = int(entry["step"])        # old-torch layout
+        cfg = pm._experiment_cfg("HSTU")
+        optimizer = make_optimizer(cfg)
+        params = params_from_reference_state_dict(ref.state_dict(), cfg)
+        _, step = optimizer_state_from_reference(
+            opt_sd, payload["model_state_dict"], cfg, params, optimizer
+        )
+        assert step == 1
+
+    def test_lazy_or_divergent_per_param_steps_refuse_loudly(self):
+        """torch inits AdamW state lazily per param; a checkpoint where some
+        param was never stepped (or params disagree on step) cannot map onto
+        a single-count optax state — the import must refuse with guidance
+        instead of silently breaking that param's bias correction."""
+        from rails_tpu.compat.torch_import import optimizer_state_from_reference
+        from rails_tpu.train.loop import make_optimizer
+
+        ref = pm._build_ref_hstu()
+        payload, _ = self._torch_ckpt_after_k_steps(ref, k=2)
+        opt_sd = payload["optimizer_state_dict"]
+        cfg = pm._experiment_cfg("HSTU")
+        optimizer = make_optimizer(cfg)
+        params = params_from_reference_state_dict(ref.state_dict(), cfg)
+
+        lazy = {k: v for k, v in opt_sd["state"].items()}
+        first = sorted(lazy)[0]
+        del lazy[first]                                # never-stepped param
+        with pytest.raises(ValueError, match="skip-optimizer"):
+            optimizer_state_from_reference(
+                {"state": lazy, "param_groups": opt_sd["param_groups"]},
+                payload["model_state_dict"], cfg, params, optimizer,
+            )
+
+        divergent = {k: dict(v) for k, v in opt_sd["state"].items()}
+        divergent[first]["step"] = divergent[first]["step"] + 5
+        with pytest.raises(ValueError, match="distinct steps"):
+            optimizer_state_from_reference(
+                {"state": divergent, "param_groups": opt_sd["param_groups"]},
+                payload["model_state_dict"], cfg, params, optimizer,
+            )
+
     def test_missing_optimizer_state_initializes_fresh(self, tmp_path):
         import jax
 
