@@ -462,6 +462,7 @@ def make_fused_train_block(
     normalization: str = "rel_bias",
     concat_ua: bool = False,
     attn_dropout_rate: float = 0.0,
+    block_users_bwd: Optional[int] = None,
 ):
     """Returns fn(x, colmask, rel_pos, ext, tsw128, uvqk, o_kernel, o_bias,
     seed) -> (B, N, D), differentiable w.r.t. x / rel_pos / tsw128 / uvqk /
@@ -544,7 +545,7 @@ def make_fused_train_block(
         has_bias, rel_pos_, ext3, nxt, tsw_ = _prep(
             jnp.zeros((b, n, 1), y_mm.dtype), rel_pos, ext, tsw128
         )
-        group = _pick_group_bwd(b, n, f, y_mm.dtype.itemsize)
+        group = block_users_bwd or _pick_group_bwd(b, n, f, y_mm.dtype.itemsize)
         kernel = functools.partial(
             _attn_bwd_kernel, group=group, num_heads=num_heads, dqk=dqk,
             dv=dv, inv_n=inv_n, eps=eps, num_buckets=num_buckets,
