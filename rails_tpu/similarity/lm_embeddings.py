@@ -87,7 +87,9 @@ class LMMoLEmbeddingsFn(nn.Module):
                 kernel_init=xavier_normal,
                 bias_init=nn.initializers.zeros_init(), name="mix_fc1",
             )(anchor)
-            h = jax.nn.silu(nn.LayerNorm(name="mix_ln")(h))
+            # torch nn.LayerNorm default eps (the reference uses the
+            # default, `query_embeddings_fns.py:68`).
+            h = jax.nn.silu(nn.LayerNorm(epsilon=1e-5, name="mix_ln")(h))
             logits = nn.Dense(
                 self.input_max_length * self.dot_product_groups,
                 dtype=self.dtype, kernel_init=xavier_normal,

@@ -153,3 +153,68 @@ class TestLMEmbeddings:
         np.testing.assert_allclose(
             np.linalg.norm(np.asarray(comps), axis=-1), 1.0, rtol=1e-4
         )
+
+    @pytest.mark.parametrize("version", ["v2", "v4", "first_p"])
+    def test_torch_cross_parity(self, version):
+        """Run the reference's own `LMMoLQueryEmbeddingsFn`
+        (`/root/reference/rails/similarities/mol/query_embeddings_fns.py:35-126`)
+        on CPU torch with transplanted weights and assert identical
+        components — the LM (QA) side of the rails library surface."""
+        torch = pytest.importorskip("torch")
+        from tests.torch_ref import dense_from_linear, load_reference_rails, t2j
+
+        load_reference_rails()
+        from rails.similarities.mol.query_embeddings_fns import (
+            LMMoLQueryEmbeddingsFn,
+        )
+
+        n_max, d, p = 8, 6, 3
+        torch.manual_seed(17)
+        ref = LMMoLQueryEmbeddingsFn(
+            input_max_length=n_max,
+            input_embedding_dim=d,
+            dot_product_groups=p,
+            dot_product_l2_norm=True,
+            eps=1e-6,
+            apply_mixing_weights_v2=version == "v2",
+            apply_mixing_weights_v4=version == "v4",
+            mixing_weights_hidden_dim=16,
+        )
+        ref.eval()
+
+        mod = LMMoLEmbeddingsFn(
+            input_max_length=n_max, input_embedding_dim=d,
+            dot_product_groups=p, dot_product_l2_norm=True,
+            apply_mixing_weights_v2=version == "v2",
+            apply_mixing_weights_v4=version == "v4",
+            mixing_weights_hidden_dim=16,
+        )
+        rng = np.random.default_rng(5)
+        # Short (N' < input_max_length) sequence exercises the pad path;
+        # trailing zeros in ids exercise the masked softmax.
+        x = rng.normal(size=(2, 6, d)).astype(np.float32)
+        ids = rng.integers(1, 50, size=(2, 6))
+        ids[0, 4:] = 0
+
+        if version == "first_p":
+            params = {"params": {}}
+        else:
+            seq = ref._mixing_weights
+            params = {"params": {
+                "mix_fc1": dense_from_linear(seq[0]),
+                "mix_ln": {"scale": t2j(seq[1].weight),
+                           "bias": t2j(seq[1].bias)},
+                "mix_fc2": dense_from_linear(seq[3]),
+            }}
+
+        with torch.no_grad():
+            ref_out, ref_aux = ref(
+                torch.from_numpy(x), input_ids=torch.from_numpy(ids)
+            )
+        my_out, my_aux = mod.apply(
+            params, jnp.asarray(x), input_ids=jnp.asarray(ids)
+        )
+        assert ref_aux == {} and my_aux == {}
+        np.testing.assert_allclose(
+            np.asarray(my_out), t2j(ref_out), rtol=1e-5, atol=2e-6
+        )
