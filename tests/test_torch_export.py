@@ -89,6 +89,55 @@ class TestExportHSTU:
             )
 
 
+class TestExportCLI:
+    def test_roundtrip_through_both_clis(self, tmp_path):
+        """torch ckpt -> import CLI -> Orbax -> export CLI -> torch ckpt:
+        the final state dict equals the original (full circle through both
+        command-line surfaces)."""
+        from rails_tpu.cli.export_checkpoint import main as export_main
+        from rails_tpu.cli.import_checkpoint import main as import_main
+
+        ref = pm._build_ref_hstu()
+        cfg = pm._experiment_cfg("HSTU")
+        src = str(tmp_path / "src_ckpt")
+        torch.save(
+            {
+                "epoch": 5,
+                "batch_id": 2,
+                "model_state_dict": {
+                    f"module.{k}": v for k, v in ref.state_dict().items()
+                },
+                "optimizer_state_dict": {},
+            },
+            src,
+        )
+        # The test config is not in the registry; drive both CLIs through a
+        # temporary registry entry.
+        from rails_tpu.core import config as config_mod
+
+        config_mod._REGISTRY["_test_export"] = lambda: cfg
+        try:
+            out_dir = str(tmp_path / "imported")
+            import_main(["--config", "_test_export", "--ckpt", src,
+                         "--out", out_dir])
+            back = str(tmp_path / "back_ckpt")
+            export_main(["--config", "_test_export",
+                         "--ckpt", out_dir + "/ckpts/ep5", "--out", back])
+        finally:
+            del config_mod._REGISTRY["_test_export"]
+
+        orig = torch.load(src, weights_only=True)["model_state_dict"]
+        round_ = torch.load(back, weights_only=True)
+        assert round_["epoch"] == 5 and round_["batch_id"] == 2
+        sd = round_["model_state_dict"]
+        assert set(sd) == set(orig)
+        for k in orig:
+            np.testing.assert_allclose(
+                sd[k].float().numpy(), orig[k].float().numpy(), rtol=1e-6,
+                err_msg=k,
+            )
+
+
 class TestExportSASRec:
     def test_reference_loads_strict_and_outputs_match(self, tmp_path):
         cfg, model, params = _init_my_model("SASRec")
