@@ -108,6 +108,108 @@ class TestHSTUImport:
         params_from_reference_state_dict(sd, cfg, strict=False)
 
 
+class TestRatedPreprocessorImport:
+    RD = 8          # rating embedding dim
+    NUM_RATINGS = 6
+
+    def _build_ref_rated_hstu(self):
+        """Reference HSTU assembled with the RATED input preprocessor
+        (`input_features_preprocessors.py:94-155`, library surface — the
+        reference's train.py hardcodes positional, but a library user can
+        wire this exactly as here: encoder width d + rating_dim, output
+        postproc slices back to d)."""
+        from modeling.sequential.embedding_modules import LocalEmbeddingModule
+        from modeling.sequential.hstu import HSTU
+        from modeling.sequential.input_features_preprocessors import (
+            LearnablePositionalEmbeddingRatedInputFeaturesPreprocessor,
+        )
+        from modeling.sequential.output_postprocessors import (
+            L2NormEmbeddingPostprocessor,
+        )
+        from tests.torch_ref import make_reference_mol
+
+        torch.manual_seed(77)
+        d = pm.D
+        d_model = d + self.RD
+        emb = LocalEmbeddingModule(num_items=pm.NUM_ITEMS, item_embedding_dim=d)
+        preproc = LearnablePositionalEmbeddingRatedInputFeaturesPreprocessor(
+            max_sequence_len=pm.N,
+            item_embedding_dim=d,
+            dropout_rate=0.0,
+            rating_embedding_dim=self.RD,
+            num_ratings=self.NUM_RATINGS,
+        )
+        postproc = L2NormEmbeddingPostprocessor(embedding_dim=d, eps=1e-6)
+        ref = HSTU(
+            max_sequence_len=pm.N,
+            max_output_len=0,
+            embedding_dim=d_model,
+            num_blocks=pm.BLOCKS,
+            num_heads=pm.H,
+            linear_dim=pm.DV,
+            attention_dim=pm.DQK,
+            normalization="rel_bias",
+            linear_config="uvqk",
+            linear_activation="silu",
+            linear_dropout_rate=0.0,
+            attn_dropout_rate=0.0,
+            embedding_module=emb,
+            similarity_module=make_reference_mol(torch, pm.MOL_CFG, pm.D, pm.D),
+            input_features_preproc_module=preproc,
+            output_postproc_module=postproc,
+            enable_relative_attention_bias=True,
+            concat_ua=False,
+            verbose=False,
+        )
+        ref.eval()
+        return ref
+
+    def test_rated_import_reproduces_reference_encode(self, tmp_path):
+        ref = self._build_ref_rated_hstu()
+        path = str(tmp_path / "rated_ckpt")
+        _save_reference_ckpt(ref, path)
+
+        cfg = pm._experiment_cfg("HSTU").replace(
+            input_preprocessor_type="rated",
+            rating_embedding_dim=self.RD,
+            num_ratings=self.NUM_RATINGS,
+        )
+        params, _, _ = import_torch_checkpoint(path, cfg)
+
+        model = SequentialRecommender(cfg, num_items=pm.NUM_ITEMS)
+        lengths, ids, ts, uids = pm._features(seed=31)
+        rng = np.random.default_rng(40)
+        ratings = np.zeros_like(ids)
+        for b, ln in enumerate(lengths):
+            ratings[b, :ln] = rng.integers(1, self.NUM_RATINGS, ln)
+
+        with torch.no_grad():
+            emb = ref.get_item_embeddings(torch.from_numpy(ids))
+            ref_out = ref.encode(
+                past_lengths=torch.from_numpy(lengths.astype(np.int64)),
+                past_ids=torch.from_numpy(ids),
+                past_embeddings=emb,
+                past_payloads={
+                    "timestamps": torch.from_numpy(ts),
+                    "ratings": torch.from_numpy(ratings),
+                },
+            )
+        from rails_tpu.data.features import SequentialFeatures
+        import jax.numpy as jnp
+
+        feats = SequentialFeatures(
+            lengths=jnp.asarray(lengths, jnp.int32),
+            ids=jnp.asarray(ids, jnp.int32),
+            timestamps=jnp.asarray(ts, jnp.int32),
+            ratings=jnp.asarray(ratings, jnp.int32),
+            user_ids=jnp.asarray(uids, jnp.int32),
+        )
+        my_out = model.apply(params, feats, method=model.encode)
+        np.testing.assert_allclose(
+            np.asarray(my_out), t2j(ref_out), rtol=1e-4, atol=2e-5
+        )
+
+
 class TestSASRecImport:
     def test_imported_params_reproduce_reference_encode(self, tmp_path):
         ref = pm._build_ref_sasrec()
