@@ -210,6 +210,143 @@ class TestRatedPreprocessorImport:
         )
 
 
+class TestCombinedPreprocessorImport:
+    """The interleaved [item_0, rating_0, item_1, rating_1, ...] preprocessor
+    (`input_features_preprocessors.py:158-267`): encoder runs at 2N with the
+    per-position output taken from the post-rating state."""
+
+    NUM_RATINGS = 6
+
+    def test_combined_import_reproduces_reference_encode(self, tmp_path):
+        from modeling.sequential.embedding_modules import LocalEmbeddingModule
+        from modeling.sequential.hstu import HSTU
+        from modeling.sequential.input_features_preprocessors import (
+            CombinedItemAndRatingInputFeaturesPreprocessor,
+        )
+        from modeling.sequential.output_postprocessors import (
+            L2NormEmbeddingPostprocessor,
+        )
+        from tests.torch_ref import make_reference_mol
+
+        torch.manual_seed(78)
+        d = pm.D
+        emb = LocalEmbeddingModule(num_items=pm.NUM_ITEMS, item_embedding_dim=d)
+        preproc = CombinedItemAndRatingInputFeaturesPreprocessor(
+            max_sequence_len=pm.N,
+            item_embedding_dim=d,
+            dropout_rate=0.0,
+            rating_embedding_dim=d,       # interleave requires equal widths
+            num_ratings=self.NUM_RATINGS,
+        )
+        ref = HSTU(
+            max_sequence_len=2 * pm.N,
+            max_output_len=0,
+            embedding_dim=d,
+            num_blocks=pm.BLOCKS,
+            num_heads=pm.H,
+            linear_dim=pm.DV,
+            attention_dim=pm.DQK,
+            normalization="rel_bias",
+            linear_config="uvqk",
+            linear_activation="silu",
+            linear_dropout_rate=0.0,
+            attn_dropout_rate=0.0,
+            embedding_module=emb,
+            similarity_module=make_reference_mol(torch, pm.MOL_CFG, d, d),
+            input_features_preproc_module=preproc,
+            output_postproc_module=L2NormEmbeddingPostprocessor(
+                embedding_dim=d, eps=1e-6
+            ),
+            enable_relative_attention_bias=True,
+            concat_ua=False,
+            verbose=False,
+        )
+        ref.eval()
+        path = str(tmp_path / "combined_ckpt")
+        _save_reference_ckpt(ref, path)
+
+        cfg = pm._experiment_cfg("HSTU").replace(
+            input_preprocessor_type="combined",
+            num_ratings=self.NUM_RATINGS,
+        )
+        params, _, _ = import_torch_checkpoint(path, cfg)
+
+        model = SequentialRecommender(cfg, num_items=pm.NUM_ITEMS)
+        lengths, ids, ts, uids = pm._features(seed=33)
+        rng = np.random.default_rng(44)
+        ratings = np.zeros_like(ids)
+        for b, ln in enumerate(lengths):
+            ratings[b, :ln] = rng.integers(1, self.NUM_RATINGS, ln)
+
+        with torch.no_grad():
+            item_emb = ref.get_item_embeddings(torch.from_numpy(ids))
+            # The interleaved layout doubles timestamp positions too
+            # (HSTU consumes (B, 2N) timestamps with this preprocessor).
+            ts2 = np.repeat(ts, 2, axis=1)
+            ref_out = ref.encode(
+                past_lengths=torch.from_numpy(lengths.astype(np.int64)),
+                past_ids=torch.from_numpy(ids),
+                past_embeddings=item_emb,
+                past_payloads={
+                    "timestamps": torch.from_numpy(ts2),
+                    "ratings": torch.from_numpy(ratings),
+                },
+            )
+        from rails_tpu.data.features import SequentialFeatures
+        import jax.numpy as jnp
+
+        feats = SequentialFeatures(
+            lengths=jnp.asarray(lengths, jnp.int32),
+            ids=jnp.asarray(ids, jnp.int32),
+            timestamps=jnp.asarray(ts, jnp.int32),
+            ratings=jnp.asarray(ratings, jnp.int32),
+            user_ids=jnp.asarray(uids, jnp.int32),
+        )
+        my_seq = model.apply(params, feats, method=model.encode_sequence)
+        # Compare the per-position (post-rating) states at valid positions:
+        # reference (B, 2N, D) odd positions == our strided (B, N, D).
+        ref_seq = None
+        with torch.no_grad():
+            ref_seq = ref.forward(
+                past_lengths=torch.from_numpy(lengths.astype(np.int64)),
+                past_ids=torch.from_numpy(ids),
+                past_embeddings=item_emb,
+                past_payloads={
+                    "timestamps": torch.from_numpy(ts2),
+                    "ratings": torch.from_numpy(ratings),
+                },
+            )
+        ref_np = t2j(ref_seq)
+        my_np = np.asarray(my_seq)
+        for b, ln in enumerate(lengths):
+            np.testing.assert_allclose(
+                my_np[b, :ln], ref_np[b, 1 : 2 * ln : 2], rtol=1e-4,
+                atol=2e-5, err_msg=f"row {b}",
+            )
+        # Current-state encode: OUR encode returns the post-rating state of
+        # the LAST item = interleaved position 2*len - 1. The reference's
+        # own `encode` composed with this preprocessor instead gathers at
+        # the un-doubled position len - 1 (`hstu.py:765` passes the original
+        # lengths into get_current_embeddings) — a mid-sequence state; the
+        # combination is never exercised by the reference pipeline
+        # (`train.py:216` hardcodes the positional preprocessor), so this
+        # repo implements the evident intent (documented in MIGRATION.md).
+        my_out = np.asarray(model.apply(params, feats, method=model.encode))
+        for b, ln in enumerate(lengths):
+            np.testing.assert_allclose(
+                my_out[b], ref_np[b, 2 * ln - 1], rtol=1e-4, atol=2e-5,
+                err_msg=f"row {b}",
+            )
+        # And pin the quirk itself so a reference change would surface: the
+        # reference encode() output equals its own sequence state at the
+        # un-doubled position.
+        np.testing.assert_allclose(
+            t2j(ref_out),
+            np.stack([ref_np[b, ln - 1] for b, ln in enumerate(lengths)]),
+            rtol=1e-4, atol=2e-5,
+        )
+
+
 class TestSASRecImport:
     def test_imported_params_reproduce_reference_encode(self, tmp_path):
         ref = pm._build_ref_sasrec()
