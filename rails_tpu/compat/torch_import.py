@@ -80,7 +80,10 @@ def normalize_state_dict(state_dict: Dict[str, Any]) -> Dict[str, np.ndarray]:
             if old in key:
                 key = key.replace(old, new)
                 break
-        if key.endswith("_attn_mask"):      # HSTU causal-mask buffer
+        # Non-trained buffers: the causal mask (HSTU/SASRec) and the
+        # categorical id->category remap (config data here, carried on the
+        # model as `item_id_to_category_id` — `embedding_modules.py:90`).
+        if key.endswith(("_attn_mask", "_item_id_to_category_id")):
             continue
         out[key] = _to_numpy(value)
     return out
@@ -295,6 +298,12 @@ def params_from_reference_state_dict(
     sv = _StateView(normalize_state_dict(state_dict))
     emb = sv.take("_embedding_module._item_emb.weight")
     if num_items is None:
+        if cfg.embedding_module_type == "categorical":
+            raise ValueError(
+                "categorical embedding checkpoints store a (num_categories"
+                " + 1, D) table, so num_items (the max item id) cannot be"
+                " inferred from it — pass num_items explicitly"
+            )
         num_items = emb.shape[0] - 1
 
     tree: dict = {
@@ -340,8 +349,13 @@ def _validate_against_fresh_init(
     from rails_tpu.models.encoder import SequentialRecommender
     from rails_tpu.train.loop import model_dtype
 
+    remap = (
+        np.zeros((num_items,), np.int32)
+        if cfg.embedding_module_type == "categorical" else None
+    )   # placeholder: only the table SHAPE matters for validation
     model = SequentialRecommender(
-        cfg=cfg, num_items=num_items, dtype=model_dtype(cfg)
+        cfg=cfg, num_items=num_items, dtype=model_dtype(cfg),
+        item_id_to_category_id=remap,
     )
     n = cfg.max_seq_len_padded
     b = 2

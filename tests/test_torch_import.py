@@ -347,6 +347,82 @@ class TestCombinedPreprocessorImport:
         )
 
 
+class TestCategoricalEmbeddingImport:
+    NUM_CATEGORIES = 12
+
+    def test_categorical_import_reproduces_reference_encode(self, tmp_path):
+        """Categorical (id->category remapped) embedding module
+        (`embedding_modules.py:76-112`): its `_item_id_to_category_id`
+        buffer is config data, the (num_categories+1, D) table transplants;
+        num_items must be given explicitly."""
+        from modeling.sequential.embedding_modules import (
+            CategoricalEmbeddingModule,
+        )
+        from modeling.sequential.hstu import HSTU
+        from modeling.sequential.input_features_preprocessors import (
+            LearnablePositionalEmbeddingInputFeaturesPreprocessor,
+        )
+        from modeling.sequential.output_postprocessors import (
+            L2NormEmbeddingPostprocessor,
+        )
+        from tests.torch_ref import make_reference_mol
+
+        torch.manual_seed(91)
+        d = pm.D
+        rng = np.random.default_rng(9)
+        remap = rng.integers(0, self.NUM_CATEGORIES, pm.NUM_ITEMS)
+        emb = CategoricalEmbeddingModule(
+            num_items=self.NUM_CATEGORIES,      # table rows = categories
+            item_embedding_dim=d,
+            item_id_to_category_id=torch.from_numpy(remap),
+        )
+        ref = HSTU(
+            max_sequence_len=pm.N, max_output_len=0, embedding_dim=d,
+            num_blocks=pm.BLOCKS, num_heads=pm.H, linear_dim=pm.DV,
+            attention_dim=pm.DQK, normalization="rel_bias",
+            linear_config="uvqk", linear_activation="silu",
+            linear_dropout_rate=0.0, attn_dropout_rate=0.0,
+            embedding_module=emb,
+            similarity_module=make_reference_mol(torch, pm.MOL_CFG, d, d),
+            input_features_preproc_module=(
+                LearnablePositionalEmbeddingInputFeaturesPreprocessor(
+                    max_sequence_len=pm.N, embedding_dim=d, dropout_rate=0.0
+                )
+            ),
+            output_postproc_module=L2NormEmbeddingPostprocessor(
+                embedding_dim=d, eps=1e-6
+            ),
+            enable_relative_attention_bias=True, concat_ua=False,
+            verbose=False,
+        )
+        ref.eval()
+        path = str(tmp_path / "cat_ckpt")
+        _save_reference_ckpt(ref, path)
+
+        cfg = pm._experiment_cfg("HSTU").replace(
+            embedding_module_type="categorical",
+            num_item_categories=self.NUM_CATEGORIES,
+        )
+        with pytest.raises(ValueError, match="num_items"):
+            import_torch_checkpoint(path, cfg)
+        params, _, _ = import_torch_checkpoint(
+            path, cfg, num_items=pm.NUM_ITEMS
+        )
+
+        model = SequentialRecommender(
+            cfg, num_items=pm.NUM_ITEMS, item_id_to_category_id=remap
+        )
+        lengths, ids, ts, uids = pm._features(seed=35)
+        ref_out = pm._ref_encode(ref, lengths, ids, ts)
+        my_out = model.apply(
+            params, pm._my_features(lengths, ids, ts, uids),
+            method=model.encode,
+        )
+        np.testing.assert_allclose(
+            np.asarray(my_out), t2j(ref_out), rtol=1e-4, atol=2e-5
+        )
+
+
 class TestSASRecImport:
     def test_imported_params_reproduce_reference_encode(self, tmp_path):
         ref = pm._build_ref_sasrec()
