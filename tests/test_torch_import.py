@@ -443,6 +443,63 @@ class TestSASRecImport:
         )
 
 
+class TestDotProductImport:
+    def test_dot_product_checkpoint_imports_and_encode_matches(self, tmp_path):
+        """DotProduct similarity is parameter-free on both sides
+        (`dot_product_similarity_fn.py:24-68`); the encoder weights carry."""
+        from modeling.sequential.embedding_modules import LocalEmbeddingModule
+        from modeling.sequential.hstu import HSTU
+        from modeling.sequential.input_features_preprocessors import (
+            LearnablePositionalEmbeddingInputFeaturesPreprocessor,
+        )
+        from modeling.sequential.output_postprocessors import (
+            L2NormEmbeddingPostprocessor,
+        )
+        from rails.similarities.dot_product_similarity_fn import (
+            DotProductSimilarity,
+        )
+
+        torch.manual_seed(101)
+        d = pm.D
+        ref = HSTU(
+            max_sequence_len=pm.N, max_output_len=0, embedding_dim=d,
+            num_blocks=pm.BLOCKS, num_heads=pm.H, linear_dim=pm.DV,
+            attention_dim=pm.DQK, normalization="rel_bias",
+            linear_config="uvqk", linear_activation="silu",
+            linear_dropout_rate=0.0, attn_dropout_rate=0.0,
+            embedding_module=LocalEmbeddingModule(
+                num_items=pm.NUM_ITEMS, item_embedding_dim=d
+            ),
+            similarity_module=DotProductSimilarity(),
+            input_features_preproc_module=(
+                LearnablePositionalEmbeddingInputFeaturesPreprocessor(
+                    max_sequence_len=pm.N, embedding_dim=d, dropout_rate=0.0
+                )
+            ),
+            output_postproc_module=L2NormEmbeddingPostprocessor(
+                embedding_dim=d, eps=1e-6
+            ),
+            enable_relative_attention_bias=True, concat_ua=False,
+            verbose=False,
+        )
+        ref.eval()
+        path = str(tmp_path / "dot_ckpt")
+        _save_reference_ckpt(ref, path)
+
+        cfg = pm._experiment_cfg("HSTU").replace(similarity_type="DotProduct")
+        params, _, _ = import_torch_checkpoint(path, cfg)
+        model = SequentialRecommender(cfg, num_items=pm.NUM_ITEMS)
+        lengths, ids, ts, uids = pm._features(seed=37)
+        ref_out = pm._ref_encode(ref, lengths, ids, ts)
+        my_out = model.apply(
+            params, pm._my_features(lengths, ids, ts, uids),
+            method=model.encode,
+        )
+        np.testing.assert_allclose(
+            np.asarray(my_out), t2j(ref_out), rtol=1e-4, atol=2e-5
+        )
+
+
 class TestOptimizerImport:
     """AdamW moments import: after converting a mid-training reference
     checkpoint (model + optimizer state), one further step on IDENTICAL
