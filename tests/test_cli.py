@@ -148,6 +148,31 @@ def test_registry_builds_every_config_and_fast_variants():
         ) == base
 
 
+def test_train_bench_cli_smoke(capsys):
+    """`cli/train_bench` runs end to end on tiny synthetic geometry."""
+    from rails_tpu.cli.train_bench import main
+
+    main([
+        "--config", "synthetic-small", "--batch-size", "16",
+        "--num-items", "200", "--runs", "2",
+    ])
+    out = capsys.readouterr().out
+    assert "users/s" in out or "ms" in out
+
+
+def test_shard_bench_cli_smoke(capsys):
+    """`cli/shard_bench` on the virtual mesh with an exactness check."""
+    from rails_tpu.cli.shard_bench import main
+
+    main([
+        "--config", "synthetic-small", "--num-items", "512",
+        "--batch-size", "8", "--k", "16", "--runs", "2",
+        "--item-parallel", "2", "--check-against-chunked",
+    ])
+    out = capsys.readouterr().out
+    assert "qps" in out or "ms" in out
+
+
 def test_eval_cli_sort_by_length_matches_unsorted(capsys):
     """--sort-by-length (length-bucketed truncated serving) must produce
     identical metrics: ordering and padding length never change scores."""
