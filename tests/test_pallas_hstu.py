@@ -383,6 +383,51 @@ class TestFusedTrain:
                 np.asarray(a), np.asarray(bb), rtol=5e-3, atol=1e-4
             )
 
+    def test_backward_group_size_is_numerics_invariant(self, setup):
+        """`block_users_bwd` is a pure scheduling knob: the dropout hash
+        streams key on the GLOBAL user index (pid*group + gi), so outputs
+        and every gradient must be identical across backward group sizes —
+        including with both dropouts active."""
+        import jax
+        import jax.numpy as jnp
+
+        from rails_tpu.ops.pallas.hstu_block_train import make_fused_train_block
+
+        b, n, d, h, dqk, dv = 4, 16, 32, 2, 8, 8
+        key = jax.random.PRNGKey(5)
+        ks = jax.random.split(key, 4)
+        x = jax.random.normal(ks[0], (b, n, d), jnp.float32)
+        colmask = (jax.random.uniform(ks[1], (b, n)) > 0.2).astype(jnp.float32)
+        uvqk = jax.random.normal(ks[2], (d, 2 * h * dv + 2 * h * dqk)) * 0.05
+        ow = jax.random.normal(ks[3], (h * dv, d)) * 0.05
+        ob = jnp.zeros((d,), jnp.float32)
+        seed = jnp.int32(11)
+
+        def grads_for(g_bwd):
+            blk = make_fused_train_block(
+                num_heads=h, dqk=dqk, dv=dv, inv_n=1.0 / n, eps=1e-6,
+                dropout_rate=0.25, num_buckets=128, attn_dropout_rate=0.3,
+                block_users_bwd=g_bwd,
+            )
+
+            def loss(x_, uvqk_, ow_, ob_):
+                out = blk(x_, colmask, None, None, None, uvqk_, ow_, ob_, seed)
+                w = jnp.cos(jnp.arange(out.size).reshape(out.shape) * 0.01)
+                return jnp.sum(out * w)
+
+            return jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(
+                x, uvqk, ow, ob
+            )
+
+        v1, g1 = grads_for(1)
+        for g_bwd in (2, 4):
+            v2, g2 = grads_for(g_bwd)
+            np.testing.assert_allclose(float(v2), float(v1), rtol=1e-6)
+            for a, bb in zip(g2, g1):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(bb), rtol=1e-5, atol=1e-7
+                )
+
     def test_train_step_with_dropout_runs(self, setup):
         """One full train step with fused_train + dropout > 0: loss finite,
         params update."""
