@@ -189,7 +189,13 @@ def kmeans(
         eps = jnp.float32(1.0 / 1024.0)
         donors = jnp.argsort(-counts)
         erank = jnp.cumsum(empty.astype(jnp.int32)) - 1
-        donor_of = donors[erank % nlist]
+        # Cycle donors over the NON-EMPTY clusters only (the first
+        # `num_nonempty` entries of the count-sorted order): with more empty
+        # than non-empty clusters, `erank % nlist` would make empty clusters
+        # "steal" other empty clusters' stale centroids — a no-op that
+        # stalls recovery to one real re-seed per iteration.
+        num_nonempty = jnp.maximum(jnp.sum(~empty).astype(jnp.int32), 1)
+        donor_of = donors[erank % num_nonempty]
         stolen = new[donor_of] * (1.0 + eps)
         shrink = jnp.where(empty, 1.0 - eps, 1.0)
         new = new.at[donor_of].multiply(shrink[:, None])

@@ -53,6 +53,12 @@ def pad_and_shard_state(
     def pad0(arr, axis=0):
         if arr is None or pad == 0:
             return arr
+        if arr.shape[axis] == 0:
+            # Zero-length sentinel (fused_only states keep an EMPTY standard
+            # component table, `top_k.py`); padding it to a nonzero all-zeros
+            # table would flip the layout dispatch inside the shard-local
+            # algorithms and silently rerank against zeros.
+            return arr
         widths = [(0, 0)] * arr.ndim
         widths[axis] = (0, pad)
         # Host (numpy) tables pad host-side: at near-HBM corpus sizes an
@@ -132,7 +138,17 @@ def make_sharded_top_k_fn(
 
     `k`, and the per-shard candidate budgets, are static. Queries and params
     are replicated; item tables are sharded along the corpus axis.
+
+    Budgets encoded in the method NAME (MoLNaiveTopK100, MoLAvgTopK800,
+    MoLCombTopK50_500) take precedence over the `k_per_group`/`avg_top_k`
+    parameters — same parsing as the unsharded factory, so a named method
+    benchmarks what it says.
     """
+    from rails_tpu.index.factory import parse_top_k_budgets
+
+    budgets = parse_top_k_budgets(top_k_method)
+    k_per_group = budgets.get("k_per_group", k_per_group)
+    avg_top_k = budgets.get("avg_top_k", avg_top_k)
 
     def local_algorithm(params_, state_l: MoLTopKState, q, user_ids):
         x_local = state_l.item_ids.shape[0]          # static inside shard_map

@@ -176,6 +176,11 @@ def build_fused_state_chunked(
     """
     import numpy as np
 
+    assert model.cfg.mol.gating_item_fn, (
+        "the fused kernel layout requires the item-side gating partial "
+        "(mol.gating_item_fn=True); gating-free configs use the standard "
+        "builder (build_mol_topk_state guards the same way)"
+    )
     x = int(item_ids.shape[0])
     xp = ((x + fused_block_x - 1) // fused_block_x) * fused_block_x
     p_x = model.cfg.mol.item_dot_product_groups
@@ -250,6 +255,11 @@ def build_fused_state_chunked_on_device(
     """
     import functools as _ft
 
+    assert model.cfg.mol.gating_item_fn, (
+        "the fused kernel layout requires the item-side gating partial "
+        "(mol.gating_item_fn=True); gating-free configs use the standard "
+        "builder (build_mol_topk_state guards the same way)"
+    )
     x = int(item_ids.shape[0])
     xp = ((x + fused_block_x - 1) // fused_block_x) * fused_block_x
     p_x = model.cfg.mol.item_dot_product_groups
@@ -405,6 +415,7 @@ def mol_brute_force_top_k_fused(
     `mol_brute_force_top_k`; the (B, X, L) logits and gating activations
     never touch HBM."""
     scores = _fused_scores(model, params, state, query_embeddings, user_ids, block_x)
+    scores = _mask_pad_rows(scores, state.item_ids[: scores.shape[1]])
     top_scores, top_idx = chunked_top_k(scores, k)
     return TopKResult(scores=top_scores, ids=state.item_ids[top_idx])
 
@@ -425,6 +436,7 @@ def mol_brute_force_top_k_fused_approx(
     partial reduction. Falls back to exact top_k on backends without the
     approx primitive (CPU tests)."""
     scores = _fused_scores(model, params, state, query_embeddings, user_ids, block_x)
+    scores = _mask_pad_rows(scores, state.item_ids[: scores.shape[1]])
     if jax.default_backend() == "cpu":
         top_scores, top_idx = jax.lax.top_k(scores, k)
     else:
@@ -641,53 +653,42 @@ def _naive_candidates(
             outs.append(idx.reshape(b, -1))
         return jnp.concatenate(outs, axis=1)
 
-    # Streamed path: pad the corpus axis to a chunk multiple (pad rows carry
-    # id 0 and are masked out), then scan.
+    # Streamed path: scan corpus chunks with the FINAL chunk's start clamped
+    # back so it stays in bounds (same copy-free tail handling as
+    # `ivf.kmeans`) — no padded copy of the multi-GB table is ever
+    # materialized (a `jnp.pad` here doubled peak HBM in exactly the
+    # huge-corpus regime this path exists for). Rows of the clamped chunk
+    # that a previous chunk already covered are masked out, so every corpus
+    # row is scored in exactly ONE chunk and the merged per-group top-k
+    # stays exact (a duplicated winner would otherwise occupy two merge
+    # slots and could crowd out the k-th distinct one).
     num_chunks = -(-x // corpus_chunk)
-    xp = num_chunks * corpus_chunk
-    ids_padded = (
-        jnp.pad(state.item_ids, (0, xp - x)) if xp != x else state.item_ids
-    )
     kk = min(k_per_group, corpus_chunk)
-    starts = jnp.arange(num_chunks, dtype=jnp.int32) * corpus_chunk
-
-    pad_state = state
-    if xp != x:
-        if has_std:
-            pad_state = state._replace(
-                item_tables=state.item_tables._replace(
-                    component_embeddings=jnp.pad(
-                        it, ((0, xp - x), (0, 0), (0, 0))
-                    )
-                )
-            )
-        else:
-            ft = state.fused_tables
-            pad_state = state._replace(
-                fused_tables=ft._replace(
-                    item_comp_t=jnp.pad(
-                        ft.item_comp_t, ((0, 0), (0, 0), (0, xp - x))
-                    )
-                )
-            )
+    nominal = jnp.arange(num_chunks, dtype=jnp.int32) * corpus_chunk
+    starts = jnp.minimum(nominal, x - corpus_chunk)
 
     outs = []
     for n in range(p_q):
         q_n = q_comp[:, n]
 
-        def body(carry, start, q_n=q_n):
-            comp_c = _component_chunk(pad_state, start, corpus_chunk)
+        def body(carry, start_pair, q_n=q_n):
+            start, start_nom = start_pair
+            comp_c = _component_chunk(state, start, corpus_chunk)
             ids_c = jax.lax.dynamic_slice_in_dim(
-                ids_padded, start, corpus_chunk
+                state.item_ids, start, corpus_chunk
             )
+            global_col = start + jnp.arange(corpus_chunk, dtype=jnp.int32)
+            fresh = global_col >= start_nom      # not covered by prior chunks
             sims = jnp.einsum(
                 "bd,cmd->bmc", q_n, comp_c, preferred_element_type=jnp.float32
             )                                  # (B, P_X, C)
-            sims = jnp.where(ids_c[None, None, :] == 0, NEG_PAD, sims)
+            sims = jnp.where(
+                ((ids_c != 0) & fresh)[None, None, :], sims, NEG_PAD
+            )
             v, i = jax.lax.top_k(sims, kk)
             return carry, (v, i + start)
 
-        _, (vs, is_) = jax.lax.scan(body, None, starts)
+        _, (vs, is_) = jax.lax.scan(body, None, (starts, nominal))
         v_all = jnp.moveaxis(vs, 0, 2).reshape(b, vs.shape[2], num_chunks * kk)
         i_all = jnp.moveaxis(is_, 0, 2).reshape(b, vs.shape[2], num_chunks * kk)
         _, pos = jax.lax.top_k(v_all, k_per_group)

@@ -197,6 +197,63 @@ class TestApproximateAlgorithms:
         for b, j in zip(*np.nonzero(s != o)):
             assert (np.abs(sc[b] - sc[b, j]) < 1e-5).sum() > 1
 
+    def test_streamed_naive_full_budget_exact_at_uneven_tail(self, trained):
+        """corpus 300 with chunk 64 leaves a clamped (overlapping) final
+        chunk; the fresh-row mask must keep the full-budget union exact —
+        every row scored in exactly one chunk."""
+        cfg, ds, model, params, batches = trained
+        es = get_eval_state(
+            model, params, ds.all_item_ids, "MoLBruteForceTopK",
+            table_dtype=jnp.float32,
+        )
+        feats = batches[0].features
+        q = model.apply(params, feats, method=model.encode)
+        ref = es.top_k_fn(q, 10, user_ids=feats.user_ids)
+        streamed = tk.mol_naive_top_k(
+            model, params, es.topk_state, q, 10, k_per_group=300,
+            user_ids=feats.user_ids, corpus_chunk=64,
+        )
+        np.testing.assert_allclose(
+            np.asarray(streamed.scores), np.asarray(ref.scores),
+            rtol=1e-5, atol=1e-5,
+        )
+
+    def test_fused_brute_force_masks_mid_corpus_pad_rows(self, trained):
+        """A corpus row carrying the reserved pad id 0 must never surface
+        from the FUSED brute-force paths (parity with the standard path's
+        `_mask_pad_rows` — previously only the standard path masked)."""
+        cfg, ds, model, params, batches = trained
+        es = get_eval_state(
+            model, params, ds.all_item_ids, "MoLBruteForceTopK",
+            table_dtype=jnp.float32,
+        )
+        state = tk.build_mol_topk_state(
+            model, params, es.all_item_ids, es.item_embeddings,
+            table_dtype=jnp.float32, build_fused=True, fused_block_x=32,
+        )
+        # Poison two mid-corpus rows with the pad id.
+        poisoned = state._replace(
+            item_ids=state.item_ids.at[jnp.asarray([5, 77])].set(0)
+        )
+        feats = batches[0].features
+        q = model.apply(params, feats, method=model.encode)
+        for fn in (tk.mol_brute_force_top_k_fused,
+                   tk.mol_brute_force_top_k_fused_approx):
+            res = fn(model, params, poisoned, q, 50,
+                     user_ids=feats.user_ids, block_x=32)
+            assert not np.any(np.asarray(res.ids) == 0), fn.__name__
+        # And parity with the standard path on the same poisoned state.
+        std = tk.mol_brute_force_top_k(
+            model, params, poisoned, q, 50, user_ids=feats.user_ids
+        )
+        fused = tk.mol_brute_force_top_k_fused(
+            model, params, poisoned, q, 50, user_ids=feats.user_ids,
+            block_x=32,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fused.ids), np.asarray(std.ids)
+        )
+
     def test_naive_dedup_no_duplicate_ids(self, trained):
         cfg, ds, model, params, batches = trained
         es = get_eval_state(

@@ -131,6 +131,67 @@ class TestShardedTopK:
         for b, j in zip(*np.nonzero(mism)):
             assert (np.abs(s_e[b] - s_e[b, j]) < 1e-4).sum() > 1
 
+    def test_sharded_fused_only_state_matches_single_device(self, trained):
+        """fused_only states keep a ZERO-LENGTH standard component table;
+        pad_and_shard_state must not pad that sentinel into a nonzero
+        all-zeros table (which silently flipped the layout dispatch and
+        reranked against zeros). Corpus 301 with unit 2*32 forces pad > 0."""
+        cfg, ds, model, params, batches = trained
+        from rails_tpu.index.top_k import build_mol_topk_state
+
+        es = get_eval_state(
+            model, params, ds.all_item_ids, "MoLBruteForceTopK",
+            table_dtype=jnp.float32,
+        )
+        feats = batches[0].features
+        q = model.apply(params, feats, method=model.encode)
+        ref = es.top_k_fn(q, 15, user_ids=feats.user_ids)
+
+        mesh = make_mesh(MeshConfig(item_parallel=2))
+        state = build_mol_topk_state(
+            model, params, es.all_item_ids, es.item_embeddings,
+            table_dtype=jnp.float32, build_fused=True, fused_block_x=32,
+            fused_only=True,
+        )
+        assert state.item_tables.component_embeddings.shape[0] == 0
+        sh_state = pad_and_shard_state(state, mesh, fused_block_x=32)
+        assert sh_state.item_tables.component_embeddings.shape[0] == 0
+        fn = make_sharded_top_k_fn(
+            "MoLBruteForceTopKFused", model, replicate(params, mesh),
+            sh_state, mesh, k=15,
+        )
+        res = fn(q, user_ids=feats.user_ids)
+        np.testing.assert_array_equal(np.asarray(res.ids), np.asarray(ref.ids))
+        np.testing.assert_allclose(
+            np.asarray(res.scores), np.asarray(ref.scores), rtol=1e-4, atol=1e-4
+        )
+
+    def test_sharded_budgets_parse_from_method_name(self, trained):
+        """Budgets in the method NAME override the k_per_group/avg_top_k
+        params (same contract as the unsharded factory): a full-budget
+        MoLNaiveTopK301 must be exact even when the parameter default (50)
+        would make it approximate."""
+        cfg, ds, model, params, batches = trained
+        es = get_eval_state(
+            model, params, ds.all_item_ids, "MoLBruteForceTopK",
+            table_dtype=jnp.float32,
+        )
+        feats = batches[0].features
+        q = model.apply(params, feats, method=model.encode)
+        ref = es.top_k_fn(q, 10, user_ids=feats.user_ids)
+
+        mesh = make_mesh(MeshConfig(item_parallel=4))
+        sh_state = pad_and_shard_state(es.topk_state, mesh)
+        fn = make_sharded_top_k_fn(
+            "MoLNaiveTopK301", model, replicate(params, mesh), sh_state,
+            mesh, k=10,                      # k_per_group left at default 50
+        )
+        res = fn(q, user_ids=feats.user_ids)
+        np.testing.assert_allclose(
+            np.asarray(res.scores), np.asarray(ref.scores), rtol=1e-5,
+            atol=1e-5,
+        )
+
     def test_sharded_avg_recall(self, trained):
         """Per-shard Avg prefilter with the full local budget reduces to the
         exact result when budget >= local corpus size."""
