@@ -78,6 +78,21 @@ def _lane_gather(tbl_row: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate(parts, axis=1)
 
 
+def _time_bucket(delta: jnp.ndarray, num_buckets: int) -> jnp.ndarray:
+    """trunc(log|delta| / 0.301) clipped to [0, min(num_buckets, 127)] —
+    the ONE in-kernel definition of the reference's bucketization fn
+    (`hstu.py:600-602`). The serving kernel, the training kernels, and the
+    backward's d_tsw bucket binning must agree bit-for-bit (the gradient
+    lands in the bin the forward read); int32 timestamps bound buckets by
+    ln(2^31)/0.301 = 71 < 128, so the 128-lane table is exact."""
+    fdelta = jnp.maximum(jnp.abs(delta), 1).astype(jnp.float32)
+    return jnp.clip(
+        (jnp.log(fdelta) * (1.0 / 0.301)).astype(jnp.int32),
+        0,
+        min(num_buckets, _LANES - 1),
+    )
+
+
 def _kernel(
     x_ref,        # (G, N, D)
     bias_ref,     # (G, N, N) or dummy (G, 1, 1) (decided by has_bias)
@@ -162,17 +177,10 @@ def _kernel(
             # Bucketized time-delta bias computed entirely in VMEM: no
             # (L, B, N, N) HBM bias tensor exists anywhere. delta(i, j) =
             # ts[i+1] - ts[j] (the reference's next-item gap semantics);
-            # bucket = trunc(log|delta| / 0.301) clipped to num_buckets, then
-            # a 128-lane dynamic_gather picks the layer's bucket weight.
-            # int32 timestamps bound buckets by ln(2^31)/0.301 = 71 < 128,
-            # so the 128-lane table is exact.
+            # bucket via the shared `_time_bucket`, then a 128-lane
+            # dynamic_gather picks the layer's bucket weight.
             delta = nxt_ref[gi] - ext_ref[gi, 0, :n].reshape(1, n)   # (N, N)
-            fdelta = jnp.maximum(jnp.abs(delta), 1).astype(jnp.float32)
-            bk = jnp.clip(
-                (jnp.log(fdelta) * (1.0 / 0.301)).astype(jnp.int32),
-                0,
-                min(num_buckets, _LANES - 1),
-            )
+            bk = _time_bucket(delta, num_buckets)
             ts_bias = _lane_gather(tsw_ref[0], bk)
             colmask_g = colmask_ref[gi, 0][None, :].astype(jnp.float32)
             bias = relpos_ref[...] + ts_bias
@@ -385,7 +393,9 @@ def fused_hstu_block(
         ),
         out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            # Disjoint output block per grid step; "parallel" lets the
+            # megacore partitioner split the grid (v4/v5p).
+            dimension_semantics=("parallel",),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * d * f + 4 * b * num_heads * n * n * dqk,

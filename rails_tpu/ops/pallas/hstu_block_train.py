@@ -52,7 +52,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from rails_tpu.ops.pallas.hstu_block import _LANES, _lane_gather, _ln
+from rails_tpu.ops.pallas.hash_dropout import keep_from_idx
+from rails_tpu.ops.pallas.hstu_block import (
+    _LANES,
+    _lane_gather,
+    _ln,
+    _time_bucket,
+)
 from rails_tpu.ops.pallas.mol_scoring import _sigmoid_tanh
 
 
@@ -77,12 +83,7 @@ def _compute_bias(
     if not has_bias:
         return (jnp.zeros((n, n), jnp.float32), mask) if softmax else (penalty, None)
     delta = nxt_ref[gi] - ext_ref[gi, 0, :n].reshape(1, n)
-    fdelta = jnp.maximum(jnp.abs(delta), 1).astype(jnp.float32)
-    bk = jnp.clip(
-        (jnp.log(fdelta) * (1.0 / 0.301)).astype(jnp.int32),
-        0,
-        min(num_buckets, _LANES - 1),
-    )
+    bk = _time_bucket(delta, num_buckets)
     bias = relpos_ref[...] + _lane_gather(tsw_ref[0], bk)
     if softmax:
         return bias, mask
@@ -90,24 +91,15 @@ def _compute_bias(
 
 
 def _hash_keep(seed_expr, rows, cols, rate):
-    """Deterministic keep mask from a murmur3-finalizer hash of
-    (seed_expr, flat position). Counter-based instead of the TPU hardware
-    PRNG: identical bits regenerate in the backward kernel (no mask in HBM),
-    the same code path runs under CPU interpret mode (pltpu.prng_* has no
-    interpret lowering). int32 arithmetic wraps two's-complement under XLA."""
+    """Deterministic keep mask from the shared counter-hash stream
+    (`hash_dropout.keep_from_idx`): identical bits regenerate in the
+    backward kernel (no mask in HBM), and the same code path runs under CPU
+    interpret mode (pltpu.prng_* has no interpret lowering)."""
     idx = (
         jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) * cols
         + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
     )
-    h = idx * np.int32(-1640531535) + seed_expr               # 0x9E3779B1
-    h = h ^ jax.lax.shift_right_logical(h, 16)
-    h = h * np.int32(-2048144789)                             # 0x85EBCA6B
-    h = h ^ jax.lax.shift_right_logical(h, 13)
-    h = h * np.int32(-1028477387)                             # 0xC2B2AE35
-    h = h ^ jax.lax.shift_right_logical(h, 16)
-    bits31 = h & np.int32(0x7FFFFFFF)                         # uniform 31-bit
-    thresh = np.int32(min(int(rate * 2.0 ** 31), 2 ** 31 - 1))
-    return (bits31 >= thresh).astype(jnp.float32) * (1.0 / (1.0 - rate))
+    return keep_from_idx(idx, seed_expr, np.int32(0), rate)
 
 
 def _dropout_mask(seed0, pid, group, gi, n, width, rate):
@@ -394,17 +386,9 @@ def _dropout_mask_batch(seed0, b, n, width, rate):
         + jax.lax.broadcasted_iota(jnp.int32, (b, n, hdv), 2)
     )
     user = jax.lax.broadcasted_iota(jnp.int32, (b, n, hdv), 0)
-    h = idx * np.int32(-1640531535) + (
-        seed0 + user * np.int32(-1498392781)
+    return keep_from_idx(
+        idx, seed0 + user * np.int32(-1498392781), np.int32(0), rate
     )
-    h = h ^ jax.lax.shift_right_logical(h, 16)
-    h = h * np.int32(-2048144789)
-    h = h ^ jax.lax.shift_right_logical(h, 13)
-    h = h * np.int32(-1028477387)
-    h = h ^ jax.lax.shift_right_logical(h, 16)
-    bits31 = h & np.int32(0x7FFFFFFF)
-    thresh = np.int32(min(int(rate * 2.0 ** 31), 2 ** 31 - 1))
-    return (bits31 >= thresh).astype(jnp.float32) * (1.0 / (1.0 - rate))
 
 
 def _specs(group, n, d, f, hdv, has_bias, n_ext):
@@ -439,7 +423,7 @@ def _specs(group, n, d, f, hdv, has_bias, n_ext):
     return seed_spec, x_spec, cm_spec, relpos, ext, nxt, tsw, wspec, owspec, obspec
 
 
-def _dummies(b, x_dtype):
+def _dummies(b):
     return (
         jnp.zeros((1, 1), jnp.float32),
         jnp.zeros((b, 1, 1), jnp.int32),
@@ -502,12 +486,17 @@ def make_fused_train_block(
         b, n, d = x.shape
         has_bias = rel_pos is not None
         if has_bias:
+            # Same contract as the inference kernel (`hstu_block.py`):
+            # int32 timestamps (the 128-lane bucket table is exact for int32
+            # deltas only) with one next-timestamp column appended.
+            assert ext.dtype == jnp.int32, ext.dtype
+            assert ext.shape == (b, n + 1), (ext.shape, (b, n + 1))
             nxt = ext[:, 1:, None]
             ext3 = ext[:, None, :]
             rel_pos = rel_pos.astype(jnp.float32)
             tsw128 = tsw128.reshape(1, _LANES).astype(jnp.float32)
         else:
-            rel_pos, ext3, nxt, tsw128 = _dummies(b, x.dtype)
+            rel_pos, ext3, nxt, tsw128 = _dummies(b)
         return has_bias, rel_pos, ext3, nxt, tsw128
 
     def forward(x, colmask, rel_pos, ext, tsw128, uvqk, o_kernel, o_bias,
@@ -532,7 +521,9 @@ def make_fused_train_block(
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
+                # Every grid step owns a disjoint output block; "parallel"
+                # lets the megacore partitioner split the grid (v4/v5p).
+                dimension_semantics=("parallel",),
             ),
             interpret=interpret,
         )(
@@ -546,6 +537,10 @@ def make_fused_train_block(
             jnp.zeros((b, n, 1), y_mm.dtype), rel_pos, ext, tsw128
         )
         group = block_users_bwd or _pick_group_bwd(b, n, f, y_mm.dtype.itemsize)
+        assert b % group == 0, (
+            f"block_users_bwd={group} must divide the batch ({b}); a "
+            "truncated grid would leave gradient rows uninitialized"
+        )
         kernel = functools.partial(
             _attn_bwd_kernel, group=group, num_heads=num_heads, dqk=dqk,
             dv=dv, inv_n=inv_n, eps=eps, num_buckets=num_buckets,
@@ -671,14 +666,10 @@ def make_fused_train_block(
             # d ts_w: chain the dense dbias into the bucket bins with a
             # one-hot einsum that XLA fuses into one pass over dbias
             # (~2 ms at B=128; segment_sum's scatter took ~58 ms/layer).
-            # Clip exactly as the kernels do, so gradients land in the bins
-            # the forward actually read.
+            # Shared `_time_bucket` = exactly the kernels' binning, so
+            # gradients land in the bins the forward actually read.
             delta = ext[:, 1:, None] - ext[:, None, :-1]
-            fdelta = jnp.maximum(jnp.abs(delta), 1).astype(jnp.float32)
-            bk = jnp.clip(
-                (jnp.log(fdelta) * (1.0 / 0.301)).astype(jnp.int32),
-                0, min(num_buckets, _LANES - 1),
-            )
+            bk = _time_bucket(delta, num_buckets)
             m = dbias.size
             d_tsw = jnp.einsum(
                 "mk,mkt->t",

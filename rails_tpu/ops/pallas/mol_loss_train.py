@@ -28,7 +28,7 @@ can hold an XLA replica to bit-identical masks.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import numpy as np
 import jax
@@ -47,29 +47,11 @@ _QI_SALT = np.int32(-1498392781)                          # 0xA6AC5333
 _PI_SALT = np.int32(-1789569707)                          # 0x95555555
 
 
-def _i32(v: int) -> np.int32:
-    """Python int -> int32 with two's-complement wrapping (NumPy 2 raises
-    OverflowError on out-of-range np.int32(...) instead of wrapping; the
-    hash only needs CONSISTENT wrapping between kernel and XLA replica)."""
-    v &= 0xFFFFFFFF
-    return np.int32(v - (1 << 32) if v >= (1 << 31) else v)
-
-
-def _keep_from_idx(idx, seed_expr, salt, rate):
-    """Scaled keep mask (0 or 1/(1-rate)) from a global flat index.
-
-    Same murmur3-finalizer scheme as `hstu_block_train._hash_keep` —
-    counter-based so identical bits regenerate in the backward and the code
-    runs under CPU interpret mode."""
-    h = idx * np.int32(-1640531535) + seed_expr + salt    # 0x9E3779B1
-    h = h ^ jax.lax.shift_right_logical(h, 16)
-    h = h * np.int32(-2048144789)                         # 0x85EBCA6B
-    h = h ^ jax.lax.shift_right_logical(h, 13)
-    h = h * np.int32(-1028477387)                         # 0xC2B2AE35
-    h = h ^ jax.lax.shift_right_logical(h, 16)
-    bits = h & np.int32(0x7FFFFFFF)
-    thresh = np.int32(min(int(rate * 2.0 ** 31), 2 ** 31 - 1))
-    return (bits >= thresh).astype(jnp.float32) * (1.0 / (1.0 - rate))
+# Shared counter-hash stream: ONE definition for every fused kernel (the
+# backward regenerates the forward's exact bits, so a diverging copy would
+# silently corrupt gradients).
+from rails_tpu.ops.pallas.hash_dropout import i32 as _i32              # noqa: E402
+from rails_tpu.ops.pallas.hash_dropout import keep_from_idx as _keep_from_idx  # noqa: E402
 
 
 def hash_keep_global(seed, salt, l, m, r, rate):
