@@ -277,7 +277,10 @@ def make_sharded_top_k_fn(
     # compiled payload).
     jitted = jax.jit(lambda p, s, q, u: sharded(p, s, q, u))
 
-    def fn(query_embeddings, user_ids=None):
-        return jitted(params, state, query_embeddings, user_ids)
+    def fn(query_embeddings, user_ids=None, params_override=None):
+        """`params_override` (already replicated over the mesh) swaps the
+        model params at call time — the corpus tables stay as built."""
+        p = params if params_override is None else params_override
+        return jitted(p, state, query_embeddings, user_ids)
 
     return fn

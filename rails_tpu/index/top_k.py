@@ -53,6 +53,24 @@ def _mask_pad_rows(scores: jnp.ndarray, item_ids: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(item_ids == 0, NEG_PAD, scores)
 
 
+# Item-table-build jit cache keyed by model identity: get_eval_state runs
+# once per epoch in the driver, and a fresh jit(lambda) each call would
+# recompile the (corpus-sized) table build every time. The model reference
+# is kept so id() cannot be recycled.
+_TABLES_JIT_CACHE: dict = {}
+
+
+def _cached_tables_fn(model):
+    entry = _TABLES_JIT_CACHE.get(id(model))
+    if entry is None:
+        fn = jax.jit(
+            lambda p, e: model.apply(p, e, method=model.build_item_tables)
+        )
+        entry = (fn, model)
+        _TABLES_JIT_CACHE[id(model)] = entry
+    return entry[0]
+
+
 class TopKResult(NamedTuple):
     scores: jnp.ndarray   # (B, K)
     ids: jnp.ndarray      # (B, K)
@@ -95,9 +113,7 @@ def build_mol_topk_state(
         pad_corpus_tables,
     )
 
-    tables = jax.jit(
-        lambda p, e: model.apply(p, e, method=model.build_item_tables)
-    )(params, item_embeddings)
+    tables = _cached_tables_fn(model)(params, item_embeddings)
     comp = tables.component_embeddings
     avg = comp.mean(axis=1)
     fused = None

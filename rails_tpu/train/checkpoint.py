@@ -76,16 +76,29 @@ def restore_checkpoint(
     try:
         restored = _ckptr().restore(os.path.abspath(path), item=reference)
         opt_state = restored["opt_state"]
-    except Exception:
-        # Optimizer-state layout mismatch — e.g. a checkpoint written before
-        # `train.fused_optimizer` existed (optax.adamw chain state) restored
-        # into a FusedAdamWState reference, or vice versa. Params/step/epoch
-        # layouts are stable across that flag, so restore those and keep the
-        # fresh optimizer state: eval is unaffected; a training RESUME loses
-        # the Adam moments (logged — rerun with the matching
-        # `train.fused_optimizer` setting for an exact resume).
+    except Exception as structured_err:
+        # Re-restore WITHOUT a reference structure; this raises for the real
+        # failure modes (missing/corrupt checkpoint, filesystem errors)
+        # instead of masking them as a layout mismatch.
         raw = _ckptr().restore(os.path.abspath(path))
-        restored = {k: raw[k] for k in ("params", "step", "epoch", "batch_id")}
+        try:
+            restored = {
+                k: raw[k] for k in ("params", "step", "epoch", "batch_id")
+            }
+            # Params must still FIT the model; only the optimizer layout may
+            # legitimately differ (a checkpoint written across the
+            # `train.fused_optimizer` flag: optax.adamw chain state vs
+            # FusedAdamWState). A params-structure mismatch means the wrong
+            # checkpoint for this config — fail loudly.
+            ref_tree = jax.tree_util.tree_structure(reference["params"])
+            got_tree = jax.tree_util.tree_structure(restored["params"])
+            if ref_tree != got_tree:
+                raise ValueError(
+                    f"checkpoint {path}: params tree does not match the "
+                    "model for this config"
+                )
+        except Exception:
+            raise structured_err
         opt_state = reference_state.opt_state
         logging.warning(
             "checkpoint %s: optimizer state layout does not match the "

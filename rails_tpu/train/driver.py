@@ -88,20 +88,28 @@ def run_training(
     run_name = f"{cfg.name}-{cfg.config_hash()}"
     log_dir = os.path.join(workdir, run_name) if workdir else None
     ckpt_dir = os.path.join(workdir, run_name, "ckpts") if workdir else None
-    writer = MetricsWriter(log_dir)
+    # Primary-only writer (the reference creates its SummaryWriter on rank 0
+    # only, `train.py:317-323`): non-primary processes would otherwise open
+    # stray metrics.jsonl / TB event files in a shared run dir.
+    writer = MetricsWriter(log_dir if dist.is_primary() else None)
     if ckpt_dir:
         os.makedirs(ckpt_dir, exist_ok=True)
 
     epoch0 = 0
+    batch_id = 0
     if restore_from:
-        state, prev_epoch, _ = restore_checkpoint(restore_from, state)
+        state, prev_epoch, prev_batch_id = restore_checkpoint(
+            restore_from, state
+        )
         epoch0 = prev_epoch + 1
+        # Continue the run's true batch counter so the metric step axis and
+        # subsequent checkpoints don't restart from 0 (`train.py:325-334`).
+        batch_id = prev_batch_id
         if mesh is not None:
             state = replicate(state, mesh)
         logger.info("restored %s; resuming at epoch %d", restore_from, epoch0)
 
     rng = jax.random.PRNGKey(t.random_seed)
-    batch_id = 0
     epochs = num_epochs if num_epochs is not None else t.num_epochs
     final_metrics: Dict[str, float] = {}
     last_log = time.time()
@@ -154,12 +162,16 @@ def run_training(
         # Full evals cover EVERY user exactly once (wrap-around tail batch,
         # duplicates trimmed via num_examples — `data/eval.py:131-138`);
         # partial evals sample a shuffled prefix of full batches.
+        # drop_last=False for partial evals too: a small per-process user
+        # shard could otherwise yield ZERO batches on one host, and the
+        # cross-process metric allgather would see mismatched shapes (the
+        # wrap-around tail keeps every shard's batches fixed-shape anyway).
         eval_batches = ds.eval_dataset.batches(
             batch_size=t.eval_batch_size,
             max_output_length=max_output_length,
             shuffle=True,
             seed=t.random_seed + epoch,
-            drop_last=not is_full,
+            drop_last=False,
             num_shards=n_proc,
             shard_index=dist.process_index(),
         )
@@ -176,6 +188,15 @@ def run_training(
                     break
                 limited.append(b)
             eval_batches = limited
+        # Single-host multi-device: shard eval batches over the data axis
+        # (otherwise the replicated-params + host-array program computes the
+        # full batch identically on every device). Multi-host eval stays a
+        # per-process local computation on the host-fetched params.
+        if (
+            n_proc == 1 and mesh is not None
+            and t.eval_batch_size % mesh.shape.get("data", 1) == 0
+        ):
+            eval_batches = (shard_batch(b, mesh) for b in eval_batches)
         metrics_arrays, _ = ev.eval_metrics_from_batches(
             model, eval_params, eval_state, eval_batches,
             k=eval_k, step_fn=eval_step_fn, num_examples=n_eval,

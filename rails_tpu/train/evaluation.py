@@ -34,6 +34,28 @@ from rails_tpu.similarity.mol import MoLItemTables
 NDCG_KS = (1, 5, 10, 50, 100, 200)
 HR_KS = (1, 5, 10, 50, 100, 200, 500, 1000)
 
+# Corpus-embedding jit cache keyed by (model identity, norm settings): a
+# fresh `jax.jit(lambda ...)` per get_eval_state call would recompile the
+# corpus embedding EVERY epoch (the driver rebuilds the eval state per
+# epoch; jit caches on function identity). The model reference is kept so
+# id() cannot be recycled.
+_EMBED_JIT_CACHE: Dict[tuple, tuple] = {}
+
+
+def _cached_embed_fn(model, item_l2_norm: bool, l2_norm_eps: float):
+    key = (id(model), item_l2_norm, float(l2_norm_eps))
+    entry = _EMBED_JIT_CACHE.get(key)
+    if entry is None:
+        fn = jax.jit(
+            lambda p, i: maybe_l2_norm(
+                model.apply(p, i, method=model.get_item_embeddings),
+                item_l2_norm, l2_norm_eps,
+            )
+        )
+        entry = (fn, model)
+        _EMBED_JIT_CACHE[key] = entry
+    return entry[0]
+
 
 @dataclass
 class EvalState:
@@ -64,12 +86,7 @@ def get_eval_state(
     is trained over the corpus and attached to the state; `ivf_nlist`
     defaults to the 4*sqrt(X) rule of thumb."""
     ids = jnp.asarray(all_item_ids, dtype=jnp.int32)
-    item_emb = jax.jit(
-        lambda p, i: maybe_l2_norm(
-            model.apply(p, i, method=model.get_item_embeddings),
-            item_l2_norm, l2_norm_eps,
-        )
-    )(params, ids)
+    item_emb = _cached_embed_fn(model, item_l2_norm, l2_norm_eps)(params, ids)
     if top_k_method == "MIPSBruteForceTopK":
         # Dot-product serving needs no MoL item tables (and DotProduct
         # models have none to build).
@@ -122,7 +139,14 @@ def ranks_from_top_k(top_k_ids: jnp.ndarray, target_ids: jnp.ndarray) -> jnp.nda
 
 
 def metrics_from_ranks(ranks: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-    """NDCG/HR/MRR per-example vectors (`data/eval.py:203-243`)."""
+    """NDCG/HR/MRR per-example vectors (`data/eval.py:203-243`).
+
+    MRR deliberately follows the reference's semantics for top-k MISSES:
+    `mrr = 1/rank` with the miss sentinel plugged in (`data/eval.py:201,243`
+    gives misses 1/(MAX_K+1), not 0), so published numbers stay comparable.
+    The tiny positive credit per miss (< 1/1001) shrinks with the sentinel;
+    compare MRR only across runs with the same eval k.
+    """
     out: Dict[str, jnp.ndarray] = {}
     ranks_f = ranks.astype(jnp.float32)
     dcg = 1.0 / jnp.log2(ranks_f + 1.0)
@@ -245,6 +269,11 @@ def make_sharded_eval_step(
     SAME semantics as `make_eval_step` (k' over-fetch for seen-id filtering is
     applied to the merged list). `seq_len` is the padded history length, used
     to budget k' statically.
+
+    Call-time params drive the query encoder AND the MoL scoring inside the
+    sharded top-k; the precomputed item-side tables are from the BUILD-time
+    params — after item-table-affecting updates, rebuild the eval state
+    (exactly like `make_eval_step`, whose topk_state is also prebuilt).
     """
     from rails_tpu.core.mesh import replicate
     from rails_tpu.index.factory import parse_top_k_budgets
@@ -273,9 +302,21 @@ def make_sharded_eval_step(
         ranks = ranks_from_top_k(res.ids, target_ids)
         return ranks, res.ids, res.scores
 
+    # Call-time params reach the sharded scorer too (not only the query
+    # encoder): replication is cached by pytree identity so the common case
+    # (same params every call) pays no re-transfer.
+    rep_cache = {"key": id(params), "rep": None}
+
     def step(params_, features, target_ids):
         q = encode(params_, features)
-        res = topk(q, user_ids=features.user_ids)
+        if id(params_) == id(params):
+            override = None
+        else:
+            if rep_cache["key"] != id(params_):
+                rep_cache["key"] = id(params_)
+                rep_cache["rep"] = replicate(params_, mesh)
+            override = rep_cache["rep"]
+        res = topk(q, user_ids=features.user_ids, params_override=override)
         return _finish(
             res.scores, res.ids,
             features.ids if filter_invalid_ids else None, target_ids,
@@ -427,9 +468,11 @@ def eval_metrics_from_batches(
                 np.asarray(lat_fn(*args))
                 times.append((time.perf_counter() - t0) / timed_runs)
             else:
+                r = None
                 for _ in range(warmup_runs):
                     r, _, _ = step(params, feats, target_ids)
-                np.asarray(r)
+                if r is not None:
+                    np.asarray(r)
                 t0 = time.perf_counter()
                 rs = [
                     step(params, feats, target_ids)[0]

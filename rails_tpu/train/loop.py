@@ -80,15 +80,19 @@ def model_dtype(cfg: ExperimentConfig):
 def init_model(
     cfg: ExperimentConfig, num_items: int, rng: jax.Array, sample_batch: Batch,
     item_id_to_category_id: Optional[np.ndarray] = None,
+    all_item_ids: Optional[np.ndarray] = None,
 ) -> Tuple[SequentialRecommender, Any]:
     model = SequentialRecommender(
         cfg=cfg, num_items=num_items, dtype=model_dtype(cfg),
         item_id_to_category_id=item_id_to_category_id,
     )
     feats = scatter_target(sample_batch.features, sample_batch.target_ids)
-    sampler = _make_sampler(
-        cfg, num_items, np.arange(1, num_items + 1, dtype=np.int32)
-    )
+    # Init traces with the SAME sampler structure the train step runs with
+    # (a contiguous-arange stand-in could differ in table length from the
+    # dataset's actual unique-id list).
+    if all_item_ids is None:
+        all_item_ids = np.arange(1, num_items + 1, dtype=np.int32)
+    sampler = _make_sampler(cfg, num_items, all_item_ids)
 
     # jit the init: eager linen init dispatches op-by-op, which is very slow
     # on remote TPU backends.
@@ -203,6 +207,7 @@ def create_train_state(
     model, params = init_model(
         cfg, num_items, rng, sample_batch,
         item_id_to_category_id=item_id_to_category_id,
+        all_item_ids=all_item_ids,
     )
     optimizer = make_optimizer(cfg)
     opt_state = optimizer.init(params)
