@@ -23,10 +23,11 @@ AuxLosses = Dict[str, jnp.ndarray]
 
 
 def _bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
-    """Numerically-stable binary cross entropy with logits."""
-    return jnp.maximum(logits, 0.0) - logits * targets + jnp.log1p(
-        jnp.exp(-jnp.abs(logits))
-    )
+    """Numerically-stable binary cross entropy with logits (optax's
+    implementation — one definition to keep correct)."""
+    import optax
+
+    return optax.sigmoid_binary_cross_entropy(logits, targets)
 
 
 def bce_loss(
@@ -65,7 +66,10 @@ def bce_loss(
         state = sampler.process_batch(
             ids=flat_ids,
             presences=flat_ids != 0,
-            embeddings=model.get_item_embeddings(flat_ids),
+            # The already-gathered input_embeddings cover the same ids — no
+            # second full (B*N, D) gather (XLA does not CSE gathers with
+            # differently-shaped index operands).
+            embeddings=input_embeddings.reshape(b * n, d),
         )
         sampled_ids, sampled_neg_embeddings = sampler.sample(state, rng, (m, 1))
     else:

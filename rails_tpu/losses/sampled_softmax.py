@@ -84,7 +84,7 @@ def _fused_negative_logits(
 def sampled_softmax_loss(
     model,                                   # bound SequentialRecommender
     features: SequentialFeatures,            # target already scattered at [len]
-    sampler,                                 # LocalNegativesSampler | (InBatch..., state)
+    sampler,                                 # LocalNegativesSampler | InBatchNegativesSampler
     num_negatives: int,
     softmax_temperature: float,
     train: bool = True,
@@ -146,14 +146,27 @@ def sampled_softmax_loss(
                 sampler.l2_norm_eps,
             )
     elif isinstance(sampler, InBatchNegativesSampler):
+        if shared_negatives:
+            import logging
+
+            # Trace-time warning (not silent): batch-sharing is implemented
+            # for the local sampler only; the in-batch sampler keeps the
+            # reference's per-position draw (`autoregressive_losses.py:
+            # 123-201`), so this run does NOT get the shared-negatives
+            # throughput shape.
+            logging.getLogger("rails_tpu").warning(
+                "train.shared_negatives=True has no effect with the "
+                "in-batch sampler; sampling per position"
+            )
         # `process_batch` over the full (target-scattered) sequence ids with
         # the tied item table (`train.py:411-418`), then draw from the
-        # deduped pool.
+        # deduped pool. The embeddings are the already-gathered
+        # input_embeddings (same ids) — no second full (B*N, D) gather.
         flat_ids = ids.reshape(-1)
         state = sampler.process_batch(
             ids=flat_ids,
             presences=flat_ids != 0,
-            embeddings=model.get_item_embeddings(flat_ids),
+            embeddings=input_embeddings.reshape(b * n, d),
         )
         sampled_ids, sampled_neg_embeddings = sampler.sample(
             state, rng, (m, num_negatives)

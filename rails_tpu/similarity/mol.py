@@ -85,6 +85,16 @@ class MoLSimilarity(nn.Module):
 
     def setup(self):
         c = self.cfg
+        # The glu_silu* combinations multiply query_partial * item_partial
+        # (`similarity_fn.py:175-186`) — both gating partials must exist, or
+        # tracing dies on a NoneType deep inside init. Only 'none' tolerates
+        # disabled partials.
+        if c.gating_combination_type in ("glu_silu", "glu_silu_ln"):
+            assert c.gating_query_fn and c.gating_item_fn, (
+                f"gating_combination_type={c.gating_combination_type!r} "
+                "requires gating_query_fn=True and gating_item_fn=True "
+                "(use gating_combination_type='none' to drop a partial)"
+            )
         d_p = c.dot_product_dimension
         self.query_proj = ProjMLP(
             out_features=c.query_proj_groups * d_p,
@@ -104,12 +114,17 @@ class MoLSimilarity(nn.Module):
         )
         # Hashed per-user embedding components appended to the query side
         # (`query_embeddings_fns.py:162-170`; lookup is (uid % hash) + 1 so
-        # index 0 — the torch padding row — is never read).
+        # index 0 — the torch padding row — is never read). Init matches
+        # torch.nn.Embedding's DEFAULT N(0, 1) (the reference's xavier
+        # applier touches Linear layers only, `similarity_utils.py:34-38`):
+        # with dot_product_l2_norm the init scale sets the ratio of the
+        # l2-normalizer (and thus the uid-L2 aux loss and gradient scale)
+        # at step 0, so a smaller init would diverge training dynamics.
         self.uid_embeddings = [
             nn.Embed(
                 hash_size + 1,
                 d_p,
-                embedding_init=xavier_normal,
+                embedding_init=nn.initializers.normal(stddev=1.0),
                 dtype=self.dtype,
                 name=f"uid_embeddings_{i}",
             )
