@@ -160,7 +160,7 @@ class StackedRelativeBias(nn.Module):
         b = timestamps.shape[0]
         j = jnp.arange(n)[None, :]                               # (1, N)
         rel_idx = j - position[:, None] + self.max_seq_len - 1   # (B, N)
-        rel_pos = jnp.moveaxis(self.pos_w[:, rel_idx], 0, 0)     # (L, B, N)
+        rel_pos = self.pos_w[:, rel_idx]                         # (L, B, N)
 
         ext = jnp.concatenate([timestamps, timestamps[:, n - 1 : n]], axis=1)
         ts_next = jnp.take_along_axis(
@@ -240,39 +240,52 @@ class HSTUBlock(nn.Module):
         attn_mask: jnp.ndarray,         # (B, N, N) float {0,1}: causal * col-valid
         rel_bias: Optional[jnp.ndarray],  # (B, N, N) precomputed bias or None
         train: bool = False,
-    ) -> jnp.ndarray:
+        return_kv: bool = False,
+    ):
         c = self.cfg
         b, n, d = x.shape
         h, dqk, dv = c.num_heads, c.dqk, c.dv
 
         u, v, q, k = self._uvqk_proj(self._ln(x))
+        kv = (k, v) if return_kv else None
 
-        qh = q.reshape(b, n, h, dqk)
-        kh = k.reshape(b, n, h, dqk)
-        vh = v.reshape(b, n, h, dv)
-        qk = jnp.einsum(
-            "bnhd,bmhd->bhnm", qh, kh, preferred_element_type=self.dtype
-        )
-        if rel_bias is not None:
-            qk = qk + rel_bias[:, None, :, :]
-
-        if c.normalization in ("rel_bias", "hstu_rel_bias"):
+        if c.normalization == "softmax_rel_bias":
+            # The reference's softmax path is SINGLE-map attention over the
+            # full h*dqk dim shared by every value head (`hstu.py:388-399`:
+            # one `bnd,bmd->bnm` einsum + one bmm over h*dv — NOT per-head
+            # softmax), scaled by sqrt(dqk) and masked AFTER normalization.
+            s = jnp.einsum("bnd,bmd->bnm", q, k, preferred_element_type=self.dtype)
+            if rel_bias is not None:
+                s = s + rel_bias
+            attn = jax.nn.softmax(
+                s / jnp.sqrt(float(dqk)).astype(s.dtype), axis=-1
+            )
+            attn = attn * attn_mask.astype(attn.dtype)
+            attn = self.attn_dropout(attn, deterministic=not train)
+            attn_out = jnp.einsum(
+                "bnm,bmd->bnd", attn, v, preferred_element_type=self.dtype
+            )
+        elif c.normalization in ("rel_bias", "hstu_rel_bias"):
+            qh = q.reshape(b, n, h, dqk)
+            kh = k.reshape(b, n, h, dqk)
+            vh = v.reshape(b, n, h, dv)
+            qk = jnp.einsum(
+                "bnhd,bmhd->bhnm", qh, kh, preferred_element_type=self.dtype
+            )
+            if rel_bias is not None:
+                qk = qk + rel_bias[:, None, :, :]
             # Pointwise SiLU attention, normalized by the constant
             # 1/max_seq_len (`hstu.py:203` uses the full padded length; the
             # constant is part of the trained function, so it stays pinned
             # when serving with shorter padded batches).
             attn = jax.nn.silu(qk) * (1.0 / self.max_seq_len)
             attn = attn * attn_mask[:, None, :, :].astype(attn.dtype)
-        elif c.normalization == "softmax_rel_bias":
-            attn = jax.nn.softmax(qk / jnp.sqrt(float(dqk)).astype(qk.dtype), axis=-1)
-            attn = attn * attn_mask[:, None, :, :].astype(attn.dtype)
+            attn = self.attn_dropout(attn, deterministic=not train)
+            attn_out = jnp.einsum(
+                "bhnm,bmhd->bnhd", attn, vh, preferred_element_type=self.dtype
+            ).reshape(b, n, h * dv)
         else:
             raise ValueError(f"Unknown normalization {c.normalization!r}")
-        attn = self.attn_dropout(attn, deterministic=not train)
-
-        attn_out = jnp.einsum(
-            "bhnm,bmhd->bnhd", attn, vh, preferred_element_type=self.dtype
-        ).reshape(b, n, h * dv)
 
         if c.concat_ua:
             a = self._ln(attn_out)
@@ -280,7 +293,10 @@ class HSTUBlock(nn.Module):
         else:
             o_input = u * self._ln(attn_out)
         o_input = self.dropout(o_input, deterministic=not train)
-        return self._o(o_input) + x
+        out = self._o(o_input) + x
+        if return_kv:
+            return out, kv
+        return out
 
     def decode_step(
         self,
@@ -306,28 +322,40 @@ class HSTUBlock(nn.Module):
         k_cache = k_cache.at[rows, position].set(k)
         v_cache = v_cache.at[rows, position].set(v)
 
-        qh = q.reshape(b, h, dqk)
-        kh = k_cache.reshape(b, n, h, dqk)
-        vh = v_cache.reshape(b, n, h, dv)
-        qk = jnp.einsum(
-            "bhd,bmhd->bhm", qh, kh, preferred_element_type=self.dtype
-        )                                              # (B, h, N)
-        if bias_row is not None:
-            qk = qk + bias_row[:, None, :]
         # Causal columns: j <= position. Note the 1/n normalizer uses the
         # full padded length, matching the dense forward.
-        col_ok = (jnp.arange(n)[None, :] <= position[:, None]).astype(qk.dtype)
-        if c.normalization in ("rel_bias", "hstu_rel_bias"):
-            attn = jax.nn.silu(qk) * (1.0 / self.max_seq_len) * col_ok[:, None, :]
-        elif c.normalization == "softmax_rel_bias":
+        col_ok = (jnp.arange(n)[None, :] <= position[:, None])
+        if c.normalization == "softmax_rel_bias":
+            # Single-map attention over the full h*dqk dim (see __call__).
+            s = jnp.einsum(
+                "bd,bmd->bm", q, k_cache, preferred_element_type=self.dtype
+            )                                          # (B, N)
+            if bias_row is not None:
+                s = s + bias_row
             attn = jax.nn.softmax(
-                qk / jnp.sqrt(float(dqk)).astype(qk.dtype), axis=-1
-            ) * col_ok[:, None, :]
+                s / jnp.sqrt(float(dqk)).astype(s.dtype), axis=-1
+            ) * col_ok.astype(s.dtype)
+            attn_out = jnp.einsum(
+                "bm,bmd->bd", attn, v_cache, preferred_element_type=self.dtype
+            )                                          # (B, h*dv)
+        elif c.normalization in ("rel_bias", "hstu_rel_bias"):
+            qh = q.reshape(b, h, dqk)
+            kh = k_cache.reshape(b, n, h, dqk)
+            vh = v_cache.reshape(b, n, h, dv)
+            qk = jnp.einsum(
+                "bhd,bmhd->bhm", qh, kh, preferred_element_type=self.dtype
+            )                                          # (B, h, N)
+            if bias_row is not None:
+                qk = qk + bias_row[:, None, :]
+            attn = (
+                jax.nn.silu(qk) * (1.0 / self.max_seq_len)
+                * col_ok.astype(qk.dtype)[:, None, :]
+            )
+            attn_out = jnp.einsum(
+                "bhm,bmhd->bhd", attn, vh, preferred_element_type=self.dtype
+            ).reshape(b, h * dv)
         else:
             raise ValueError(f"Unknown normalization {c.normalization!r}")
-        attn_out = jnp.einsum(
-            "bhm,bmhd->bhd", attn, vh, preferred_element_type=self.dtype
-        ).reshape(b, h * dv)
 
         if c.concat_ua:
             a = self._ln(attn_out)
@@ -528,13 +556,15 @@ class HSTUStack(nn.Module):
         bias_all = self._bias_all(timestamps)
         cache = []
         for layer_idx, block in enumerate(self.blocks):
-            _, v, _, k = block._uvqk_proj(block._ln(x))
-            cache.append((k, v))
-            x = block(
+            # Single uvqk projection per block: the block returns its (k, v)
+            # alongside the output instead of re-projecting for the cache.
+            x, (k, v) = block(
                 x, attn_mask,
                 bias_all[layer_idx] if bias_all is not None else None,
                 train=False,
+                return_kv=True,
             )
+            cache.append((k, v))
         return x * valid[..., None].astype(x.dtype), tuple(cache)
 
     def decode_step(

@@ -197,32 +197,47 @@ def _kernel(
             bias = bias_ref[gi].astype(jnp.float32) if has_bias else None
         else:
             bias = bias_ref[gi].astype(jnp.float32) if has_bias else None
-        attn_cols = []
-        for head in range(h):
-            qh = q[:, head * dqk : (head + 1) * dqk]
-            kh = k[:, head * dqk : (head + 1) * dqk]
-            vh = v[:, head * dv : (head + 1) * dv]
+        if softmax:
+            # Reference softmax semantics (`hstu.py:388-399`): ONE attention
+            # map over the FULL h*dqk contraction, shared by all value
+            # heads, scaled by sqrt(dqk), mask applied after normalization.
             qk = jax.lax.dot_general(
-                qh, kh,
+                q, k,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                         # (N, N) fp32
             if bias is not None:
                 qk = qk + bias
-            if softmax:
-                p = qk * rsqrt_dqk
-                p = p - jnp.max(p, axis=1, keepdims=True)
-                e = jnp.exp(p)
-                a = e / jnp.sum(e, axis=1, keepdims=True)
-            else:
-                a = qk * _sigmoid_tanh(qk)
+            p = qk * rsqrt_dqk
+            p = p - jnp.max(p, axis=1, keepdims=True)
+            e = jnp.exp(p)
+            a = e / jnp.sum(e, axis=1, keepdims=True)
             if mask is not None:
                 a = a * mask
-            a = a.astype(mm_dtype)
-            attn_cols.append(
-                jnp.dot(a, vh, preferred_element_type=jnp.float32)
-            )                                         # (N, dv); 1/N is in v
-        attn = jnp.concatenate(attn_cols, axis=1)     # (N, h*dv) fp32
+            attn = jnp.dot(
+                a.astype(mm_dtype), v, preferred_element_type=jnp.float32
+            )                                         # (N, h*dv) fp32
+        else:
+            attn_cols = []
+            for head in range(h):
+                qh = q[:, head * dqk : (head + 1) * dqk]
+                kh = k[:, head * dqk : (head + 1) * dqk]
+                vh = v[:, head * dv : (head + 1) * dv]
+                qk = jax.lax.dot_general(
+                    qh, kh,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                     # (N, N) fp32
+                if bias is not None:
+                    qk = qk + bias
+                a = qk * _sigmoid_tanh(qk)
+                if mask is not None:
+                    a = a * mask
+                a = a.astype(mm_dtype)
+                attn_cols.append(
+                    jnp.dot(a, vh, preferred_element_type=jnp.float32)
+                )                                     # (N, dv); 1/N is in v
+            attn = jnp.concatenate(attn_cols, axis=1)  # (N, h*dv) fp32
 
         if concat_ua:
             a_ln = _ln(attn, eps)

@@ -177,30 +177,43 @@ def _fwd_kernel(
             relpos_ref, ext_ref, nxt_ref, tsw_ref, colmask_ref, gi, n,
             num_buckets, has_bias, softmax=softmax,
         )
-        cols = []
-        for head in range(h):
-            qh = q[:, head * dqk : (head + 1) * dqk]
-            kh = k[:, head * dqk : (head + 1) * dqk]
-            vh = v[:, head * dv : (head + 1) * dv]
-            s_h = jax.lax.dot_general(
-                qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+        if softmax:
+            # Reference softmax semantics (`hstu.py:388-399`): ONE map over
+            # the FULL h*dqk contraction shared by all value heads.
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) + bias
-            if softmax:
-                p = s_h * rsqrt_dqk
-                p = p - jnp.max(p, axis=1, keepdims=True)
-                e = jnp.exp(p)
-                a_h = (e / jnp.sum(e, axis=1, keepdims=True)) * mask
-            else:
-                a_h = s_h * _sigmoid_tanh(s_h)
+            p = s * rsqrt_dqk
+            p = p - jnp.max(p, axis=1, keepdims=True)
+            e = jnp.exp(p)
+            a = (e / jnp.sum(e, axis=1, keepdims=True)) * mask
             if attn_rate > 0.0:
-                a_h = a_h * _attn_dropout_mask(
-                    seed_ref[0, 0], pid, group, gi, head, n, attn_rate
+                a = a * _attn_dropout_mask(
+                    seed_ref[0, 0], pid, group, gi, 0, n, attn_rate
                 )
-            cols.append(jnp.dot(
-                a_h.astype(mm), vh, preferred_element_type=jnp.float32
-            ))
-        attn = jnp.concatenate(cols, axis=1)
+            attn = jnp.dot(
+                a.astype(mm), v, preferred_element_type=jnp.float32
+            )
+        else:
+            cols = []
+            for head in range(h):
+                qh = q[:, head * dqk : (head + 1) * dqk]
+                kh = k[:, head * dqk : (head + 1) * dqk]
+                vh = v[:, head * dv : (head + 1) * dv]
+                s_h = jax.lax.dot_general(
+                    qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + bias
+                a_h = s_h * _sigmoid_tanh(s_h)
+                if attn_rate > 0.0:
+                    a_h = a_h * _attn_dropout_mask(
+                        seed_ref[0, 0], pid, group, gi, head, n, attn_rate
+                    )
+                cols.append(jnp.dot(
+                    a_h.astype(mm), vh, preferred_element_type=jnp.float32
+                ))
+            attn = jnp.concatenate(cols, axis=1)
         gln = _ln(attn, eps)
         if concat_ua:
             o_in = jnp.concatenate([u, gln, u * gln], axis=1)
@@ -274,28 +287,81 @@ def _attn_bwd_kernel(
             num_buckets, has_bias, softmax=softmax,
         )
 
+        if softmax:
+            # Single-map attention over the full h*dqk contraction (the
+            # reference's softmax path, `hstu.py:388-399`): one softmax
+            # shared by every value head; its jacobian likewise chains
+            # through ONE (N, N) map.
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bias
+            t = s * rsqrt_dqk
+            t = t - jnp.max(t, axis=1, keepdims=True)
+            e = jnp.exp(t)
+            p = e / jnp.sum(e, axis=1, keepdims=True)
+            a = p * mask
+            if attn_rate > 0.0:
+                dmask = _attn_dropout_mask(
+                    seed_ref[0, 0], pid, group, gi, 0, n, attn_rate
+                )
+                a = a * dmask
+            else:
+                dmask = None
+            a_mm = a.astype(mm)
+            attn = jnp.dot(a_mm, v, preferred_element_type=jnp.float32)
+            attn_ref[gi] = attn
+            gln = _ln(attn, eps)
+            d_o = doin_ref[gi].astype(jnp.float32)
+            if concat_ua:
+                d_u = d_o[:, :hdv] + d_o[:, 2 * hdv :] * gln
+                d_gln = d_o[:, hdv : 2 * hdv] + d_o[:, 2 * hdv :] * u
+            else:
+                d_u = d_o * gln
+                d_gln = d_o * u
+            d_attn = _ln_bwd(attn, d_gln, eps).astype(mm)    # (N, h*dv)
+            d_a = jax.lax.dot_general(
+                d_attn, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                               # (N, N)
+            d_v_full = jax.lax.dot_general(
+                a_mm, d_attn, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                               # (N, h*dv)
+            if dmask is not None:
+                d_a = d_a * dmask
+            d_p = d_a * mask
+            d_t = p * (d_p - jnp.sum(d_p * p, axis=1, keepdims=True))
+            d_s = d_t * rsqrt_dqk
+            if has_bias:
+                dbias_ref[gi] = d_s
+            else:
+                dbias_ref[gi] = jnp.zeros_like(dbias_ref[gi])
+            d_s_mm = d_s.astype(mm)
+            d_q_full = jnp.dot(d_s_mm, k, preferred_element_type=jnp.float32)
+            d_k_full = jax.lax.dot_general(
+                d_s_mm, q, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dy_out_ref[gi] = jnp.concatenate(
+                [d_u, d_v_full, d_q_full, d_k_full], axis=1
+            )                                               # (N, F) f32
+            continue
+
         def head_attn(head):
             """Compute one head's attention pieces ONCE; pass 2 reuses the
-            stashed (a_h, softmax p / silu derivative) instead of re-running
-            the qk matmul + transcendentals."""
+            stashed (a_h, silu derivative) instead of re-running the qk
+            matmul + transcendentals."""
             qh = q[:, head * dqk : (head + 1) * dqk]
             kh = k[:, head * dqk : (head + 1) * dqk]
             s_h = jax.lax.dot_general(
                 qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) + bias
-            if softmax:
-                t = s_h * rsqrt_dqk
-                t = t - jnp.max(t, axis=1, keepdims=True)
-                e = jnp.exp(t)
-                p = e / jnp.sum(e, axis=1, keepdims=True)
-                a_h = p * mask
-                deriv = p                 # softmax jacobian needs p itself
-            else:
-                sig = _sigmoid_tanh(s_h)
-                a_h = s_h * sig
-                # d silu(s)/d s, stashed so pass 2 needs no recompute.
-                deriv = sig * (1.0 + s_h * (1.0 - sig))
+            sig = _sigmoid_tanh(s_h)
+            a_h = s_h * sig
+            # d silu(s)/d s, stashed so pass 2 needs no recompute.
+            deriv = sig * (1.0 + s_h * (1.0 - sig))
             if attn_rate > 0.0:
                 dmask = _attn_dropout_mask(
                     seed_ref[0, 0], pid, group, gi, head, n, attn_rate
@@ -345,13 +411,7 @@ def _attn_bwd_kernel(
             ))                                              # (N, dv)
             if dmask is not None:
                 d_a = d_a * dmask
-            if softmax:
-                p = deriv
-                d_p = d_a * mask
-                d_t = p * (d_p - jnp.sum(d_p * p, axis=1, keepdims=True))
-                d_s = d_t * rsqrt_dqk
-            else:
-                d_s = d_a * deriv
+            d_s = d_a * deriv
             dbias_acc = dbias_acc + d_s
             d_s_mm = d_s.astype(mm)
             d_q.append(jnp.dot(d_s_mm, kh,
@@ -366,9 +426,7 @@ def _attn_bwd_kernel(
             # Output must always be defined: the (B,1,1) dbias is discarded by
             # the caller in this branch, but never leave it uninitialized.
             dbias_ref[gi] = jnp.zeros_like(dbias_ref[gi])
-        d_v_cat = jnp.concatenate(d_v, axis=1)
-        if not softmax:
-            d_v_cat = d_v_cat * inv_n
+        d_v_cat = jnp.concatenate(d_v, axis=1) * inv_n
         dy_out_ref[gi] = jnp.concatenate(
             [d_u, d_v_cat,
              jnp.concatenate(d_q, axis=1),

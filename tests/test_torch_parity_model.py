@@ -310,6 +310,57 @@ class TestHSTUParity:
             )
 
 
+class TestSoftmaxVariantParity:
+    def test_softmax_rel_bias_encode_matches(self):
+        """normalization='softmax_rel_bias' with num_heads=2: the reference
+        computes ONE attention map over the full h*dqk dim shared by all
+        value heads (`hstu.py:388-399`) — NOT per-head softmax; this pins
+        that semantic."""
+        from modeling.sequential.hstu import HSTU
+
+        torch.manual_seed(51)
+        emb, preproc, postproc = _ref_common_modules()
+        mol = make_reference_mol(torch, MOL_CFG, D, D)
+        ref = HSTU(
+            max_sequence_len=N,
+            max_output_len=0,
+            embedding_dim=D,
+            num_blocks=BLOCKS,
+            num_heads=H,
+            linear_dim=DV,
+            attention_dim=DQK,
+            normalization="softmax_rel_bias",
+            linear_config="uvqk",
+            linear_activation="silu",
+            linear_dropout_rate=0.0,
+            attn_dropout_rate=0.0,
+            embedding_module=emb,
+            similarity_module=mol,
+            input_features_preproc_module=preproc,
+            output_postproc_module=postproc,
+            enable_relative_attention_bias=True,
+            concat_ua=False,
+            verbose=False,
+        )
+        ref.eval()
+
+        cfg = _experiment_cfg("HSTU")
+        cfg = cfg.replace(
+            hstu=cfg.hstu.replace(normalization="softmax_rel_bias")
+        )
+        model = SequentialRecommender(cfg, num_items=NUM_ITEMS)
+        params = {"params": _hstu_params_from_torch(ref)}
+
+        lengths, ids, ts, uids = _features(seed=12)
+        ref_out = _ref_encode(ref, lengths, ids, ts)
+        my_out = model.apply(
+            params, _my_features(lengths, ids, ts, uids), method=model.encode
+        )
+        np.testing.assert_allclose(
+            np.asarray(my_out), t2j(ref_out), rtol=1e-4, atol=2e-5
+        )
+
+
 class TestSASRecParity:
     def test_encode_matches(self):
         ref = _build_ref_sasrec()
