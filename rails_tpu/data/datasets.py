@@ -63,7 +63,14 @@ class SequenceDataset:
         self._ignore_last_n = ignore_last_n
         self._sample_ratio = sample_ratio
         if sample_ratio < 1.0:
-            self._seqs = _subsample_events(sequences, sample_ratio, seed=0)
+            # The reference trims ignore_last_n FIRST, then samples over the
+            # trimmed events (`dataset.py:67-84`): the held-out tail is
+            # never subject to sampling. Equivalent here: protect the last
+            # ignore_last_n events of each user from the drop mask (they
+            # are removed by the trim regardless).
+            self._seqs = _subsample_events(
+                sequences, sample_ratio, seed=0, protect_last_n=ignore_last_n
+            )
         # Users must retain >= 2 events (1 history + 1 target) after trimming.
         lens = np.diff(self._seqs.offsets) - ignore_last_n
         self._valid_users = np.nonzero(lens >= 2)[0]
@@ -207,8 +214,11 @@ def prefetch_batches(batch_iter: Iterator[Batch], depth: int = 2) -> Iterator[Ba
         try:
             for b in batch_iter:
                 q.put(b)
-        finally:
             q.put(_END)
+        except BaseException as e:    # noqa: BLE001 — re-raised in consumer
+            # Propagate worker failures to the training loop instead of
+            # silently presenting a truncated epoch as a clean end.
+            q.put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -216,6 +226,8 @@ def prefetch_batches(batch_iter: Iterator[Batch], depth: int = 2) -> Iterator[Ba
         b = q.get()
         if b is _END:
             return
+        if isinstance(b, BaseException):
+            raise b
         yield b
 
 
@@ -236,13 +248,25 @@ class RecoDataset:
 
 
 def _subsample_events(
-    seqs: RaggedSequences, ratio: float, seed: int
+    seqs: RaggedSequences, ratio: float, seed: int, protect_last_n: int = 0
 ) -> RaggedSequences:
-    """Keep ~ratio of each user's events (sampled once, deterministic)."""
+    """Keep ~ratio of each user's events (sampled once, deterministic).
+
+    `protect_last_n` exempts each user's final events from the drop mask
+    (the leave-one-out tail the trim removes anyway — reference order is
+    trim-then-sample, `dataset.py:67-84`)."""
     rng = np.random.default_rng(seed)
-    keep = rng.random(len(seqs.item_ids)) < ratio
-    lens = np.add.reduceat(keep.astype(np.int64), seqs.offsets[:-1])
-    lens = np.where(np.diff(seqs.offsets) > 0, lens, 0)
+    total = len(seqs.item_ids)
+    keep = rng.random(total) < ratio
+    for j in range(1, protect_last_n + 1):
+        tails = seqs.offsets[1:] - j
+        tails = tails[tails >= seqs.offsets[:-1]]      # users with >= j events
+        keep[tails] = True
+    # Per-user kept counts via prefix sums — exact for empty users too
+    # (np.add.reduceat raises on an index == total and miscounts around
+    # repeated indices).
+    csum = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
+    lens = csum[seqs.offsets[1:]] - csum[seqs.offsets[:-1]]
     offsets = np.zeros(len(seqs.user_ids) + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
     return RaggedSequences(
@@ -416,11 +440,19 @@ def get_reco_dataset(
     are shifted +1 so 0 stays the padding id (`reco_dataset.py:81-89`).
     """
     if cfg.dataset_name == "synthetic":
+        max_len = (
+            cfg.synthetic_max_len
+            if getattr(cfg, "synthetic_max_len", 0)
+            else cfg.max_sequence_length + 2
+        )
         seqs = generate_synthetic_sequences(
             num_users=cfg.synthetic_num_users,
             num_items=cfg.synthetic_num_items,
-            max_len=min(cfg.max_sequence_length + 2, 64),
+            max_len=max_len,
             seed=cfg.synthetic_seed,
+            length_distribution=getattr(
+                cfg, "synthetic_length_distribution", "uniform"
+            ),
         )
         max_item_id = cfg.synthetic_num_items
     elif cfg.dataset_name in _DATASET_FILES:

@@ -24,10 +24,13 @@ import pandas as pd
 
 
 def _group_to_sasrec_csv(
-    ratings: pd.DataFrame, out_csv: str, shuffle_seed: int = 0
+    ratings: pd.DataFrame, out_csv: str, shuffle_seed: int = 0,
+    min_sequence_length: int = 0,
 ) -> pd.DataFrame:
     """Sort by timestamp, group by user, write stringified sequence lists
-    (`preprocessor.py:254-275`)."""
+    (`preprocessor.py:254-275`). `min_sequence_length` drops shorter users
+    AFTER grouping (the Amazon pipeline's final >= 5 filter,
+    `preprocessor.py:391-393`)."""
     group = ratings.sort_values(by=["unix_timestamp"]).groupby("user_id")
     seq = pd.DataFrame(
         data={
@@ -37,6 +40,10 @@ def _group_to_sasrec_csv(
             "sequence_timestamps": list(group.unix_timestamp.apply(list)),
         }
     )
+    if min_sequence_length > 0:
+        seq = seq[
+            seq["sequence_item_ids"].apply(len) >= min_sequence_length
+        ]
     os.makedirs(os.path.dirname(out_csv), exist_ok=True)
     seq.sample(frac=1, random_state=shuffle_seed).reset_index(drop=True).to_csv(
         out_csv, index=False, sep=","
@@ -136,21 +143,20 @@ class AmazonDataProcessor:
         path = os.path.join(self.root, f"tmp/{self.prefix}/ratings.csv")
         if not os.path.exists(path):
             self.download()
+        # Column order follows the reference EXACTLY (`preprocessor.py:
+        # 333-337` reads user_id first) — the published 695762-item corpus
+        # is defined by that parse, whatever the raw file's own semantics.
         ratings = pd.read_csv(
-            path, names=["item_id", "user_id", "rating", "unix_timestamp"]
+            path, names=["user_id", "item_id", "rating", "unix_timestamp"]
         )
-        # Iterative 5-core filtering (`preprocessor.py:346-362`): keep users
-        # and items with >= 5 interactions, repeating until stable.
-        while True:
-            item_counts = ratings["item_id"].value_counts()
-            user_counts = ratings["user_id"].value_counts()
-            keep = ratings["item_id"].isin(
-                item_counts[item_counts >= 5].index
-            ) & ratings["user_id"].isin(user_counts[user_counts >= 5].index)
-            if keep.all():
-                break
-            ratings = ratings[keep]
-        ratings = ratings.copy()
+        # SINGLE-pass 5-core filter on the ORIGINAL counts (`preprocessor.py:
+        # 346-362`): items with >= 5 interactions, then users with >= 5 —
+        # both thresholds against pre-filter counts, NOT iterated to a
+        # stable core. A final per-user sequence-length >= 5 filter runs
+        # after grouping (`:391-393`), exactly as the reference does.
+        item_counts = ratings["item_id"].map(ratings["item_id"].value_counts())
+        user_counts = ratings["user_id"].map(ratings["user_id"].value_counts())
+        ratings = ratings[(item_counts >= 5) & (user_counts >= 5)].copy()
         ratings["item_id"] = pd.Categorical(ratings["item_id"]).codes
         ratings["user_id"] = pd.Categorical(ratings["user_id"]).codes
         num_unique = ratings["item_id"].nunique()
@@ -159,7 +165,9 @@ class AmazonDataProcessor:
                 f"amzn-books: {num_unique} unique items, expected "
                 f"{self.expected_num_unique_items}"
             )
-        _group_to_sasrec_csv(ratings, self.output_format_csv())
+        _group_to_sasrec_csv(
+            ratings, self.output_format_csv(), min_sequence_length=5
+        )
         return num_unique
 
 
