@@ -94,10 +94,17 @@ def main(argv=None) -> None:
     )
     sample = eval_batches[0]        # pre-truncation shapes for model init
     if args.sort_by_length:
-        assert args.item_parallel == 1, (
-            "--sort-by-length with --item-parallel is not supported yet "
-            "(the sharded step compiles for one sequence length)"
-        )
+        if args.item_parallel != 1:
+            p.error(
+                "--sort-by-length with --item-parallel is not supported yet "
+                "(the sharded step compiles for one sequence length)"
+            )
+        if args.limit_users:
+            p.error(
+                "--sort-by-length with --limit-users would evaluate the N "
+                "SHORTEST-history users instead of the first N — drop one "
+                "of the flags"
+            )
         from rails_tpu.data.features import (
             serving_pad_length, truncate_features,
         )
@@ -134,10 +141,11 @@ def main(argv=None) -> None:
         from rails_tpu.core.config import MeshConfig
         from rails_tpu.core.mesh import make_mesh
 
-        assert jax.device_count() >= args.item_parallel, (
-            f"--item-parallel {args.item_parallel} needs that many devices "
-            f"(have {jax.device_count()})"
-        )
+        if jax.device_count() < args.item_parallel:
+            p.error(
+                f"--item-parallel {args.item_parallel} needs that many "
+                f"devices (have {jax.device_count()})"
+            )
         mesh = make_mesh(MeshConfig(item_parallel=args.item_parallel))
         step = ev.make_sharded_eval_step(
             model, params, eval_state, mesh, k,
@@ -154,9 +162,17 @@ def main(argv=None) -> None:
     summary = ev.summarize_metrics(metrics)
 
     recall = {}
-    if args.eval_against_brute_force and top_k_method != "MoLBruteForceTopK":
+    # The exactness oracle matches the similarity: exact MoL for MoL
+    # models, exact MIPS for dot-product models (the reference's
+    # `--eval_against_brute_force` does the same per-config,
+    # `eval_from_checkpoint.py:395-421`).
+    oracle = (
+        "MoLBruteForceTopK" if cfg.similarity_type == "MoL"
+        else "MIPSBruteForceTopK"
+    )
+    if args.eval_against_brute_force and top_k_method != oracle:
         exact_state = ev.get_eval_state(
-            model, params, ds.all_item_ids, "MoLBruteForceTopK",
+            model, params, ds.all_item_ids, oracle,
             item_l2_norm=t.item_l2_norm, l2_norm_eps=t.l2_norm_eps,
         )
         recall_k = min(200, len(ds.all_item_ids))

@@ -62,7 +62,6 @@ def main(argv=None) -> None:
     from rails_tpu.data.datasets import SequenceDataset, generate_synthetic_sequences
     from rails_tpu.index.sharded import make_sharded_top_k_fn, pad_and_shard_state
     from rails_tpu.index.top_k import build_mol_topk_state
-    from rails_tpu.losses.samplers import maybe_l2_norm
     from rails_tpu.train.loop import create_train_state
 
     n_dev = jax.device_count()
@@ -88,7 +87,10 @@ def main(argv=None) -> None:
         key, _, val = ov.partition("=")
         cfg = apply_override(cfg, key, val)
     seqs = generate_synthetic_sequences(
-        num_users=256, num_items=min(x, 100_000), max_len=64, seed=0
+        num_users=256, num_items=min(x, 100_000),
+        max_len=cfg.data.synthetic_max_len or cfg.data.max_sequence_length + 2,
+        seed=0,
+        length_distribution=cfg.data.synthetic_length_distribution,
     )
     ds = SequenceDataset(seqs, cfg.data.max_sequence_length, ignore_last_n=1)
     batch = next(
@@ -326,7 +328,9 @@ def main(argv=None) -> None:
     t0 = time.perf_counter()
     for i in range(args.runs):
         # Perturb queries per run so remote backends cannot dedupe the call.
-        res = topk(q + 1e-6 * i, user_ids=batch.features.user_ids)
+        # (i + 1): i == 0 would repeat the warmup call's exact inputs, which
+        # a caching remote backend could serve without touching the chip.
+        res = topk(q + 1e-6 * (i + 1), user_ids=batch.features.user_ids)
     jax.block_until_ready(res)
     dt = (time.perf_counter() - t0) / args.runs
     print(json.dumps({

@@ -183,11 +183,19 @@ def main(argv=None) -> None:
     algorithms = CONFIGURED_ALGORITHMS.get(
         cfg.data.dataset_name, CONFIGURED_ALGORITHMS["synthetic"]
     )
-    # Budgets above the corpus size are meaningless; drop them.
+    # Budgets above the corpus size are meaningless (the algorithm clamps
+    # and degenerates to brute force under an approximate label); drop such
+    # entries for EVERY parsed method spelling.
+    from rails_tpu.index.factory import parse_top_k_budgets
+
     x = len(ds.all_item_ids)
     algorithms = [
         a for a in algorithms
-        if not (a.startswith("MoLAvgTopK") and int(a[len("MoLAvgTopK"):]) > x)
+        if not any(
+            v > x
+            for key, v in parse_top_k_budgets(a).items()
+            if key in ("avg_top_k", "k_per_group")
+        )
     ]
     algorithms += [a for a in args.extra_algorithms if a not in algorithms]
     rows = run_sweep(

@@ -120,7 +120,9 @@ def main(argv=None) -> None:
         )
     seqs = generate_synthetic_sequences(
         num_users=cfg.data.synthetic_num_users, num_items=args.num_items,
-        max_len=64, seed=0,
+        max_len=cfg.data.synthetic_max_len or cfg.data.max_sequence_length + 2,
+        seed=0,
+        length_distribution=cfg.data.synthetic_length_distribution,
     )
     ds = SequenceDataset(seqs, cfg.data.max_sequence_length, ignore_last_n=1)
     batches = []

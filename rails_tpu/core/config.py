@@ -18,15 +18,10 @@ from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
 
 
-def _asdict(obj: Any) -> Any:
-    if dataclasses.is_dataclass(obj):
-        return {k: _asdict(v) for k, v in dataclasses.asdict(obj).items()}
-    return obj
-
-
 class _Base:
     def to_dict(self) -> Dict[str, Any]:
-        return _asdict(self)
+        # dataclasses.asdict already deep-converts nested dataclasses.
+        return dataclasses.asdict(self)
 
     def to_json(self) -> str:
         return json.dumps(self.to_dict(), indent=2, sort_keys=True)
@@ -194,6 +189,11 @@ class DataConfig(_Base):
     synthetic_num_users: int = 8192
     synthetic_num_items: int = 20000
     synthetic_seed: int = 0
+    # 0 -> max_sequence_length + 2 (sequences actually fill the configured
+    # geometry; an earlier silent 64-event cap made "n=200" runs mostly
+    # padding).
+    synthetic_max_len: int = 0
+    synthetic_length_distribution: str = "uniform"   # | "ml20m"
 
 
 @dataclass(frozen=True)

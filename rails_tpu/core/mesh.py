@@ -31,6 +31,17 @@ def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
     cfg = cfg or MeshConfig()
+    # The sharding helpers (batch_axes/data_sharding/item_sharding) and
+    # shard_map programs key on the MODULE-constant axis names; a renamed
+    # axis would silently mis-shard (e.g. the batch replicated across a
+    # renamed slice axis). Refuse renames loudly.
+    if (cfg.slice_axis, cfg.data_axis, cfg.item_axis) != (
+        SLICE_AXIS, DATA_AXIS, ITEM_AXIS
+    ):
+        raise ValueError(
+            "custom mesh axis names are not supported: every sharding "
+            f"helper keys on ({SLICE_AXIS!r}, {DATA_AXIS!r}, {ITEM_AXIS!r})"
+        )
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     item = max(1, cfg.item_parallel)

@@ -139,30 +139,70 @@ class TestMovielens20M:
 
 
 class TestAmazonBooks:
-    def test_5core_filter_and_contiguous_remap(self, tmp_path):
-        """Heavy users/items survive; a light item (4 interactions) and its
-        cascade are iteratively removed; remapped ids are 0-based
-        contiguous (`/root/reference/data/preprocessor.py:346-369`)."""
+    def test_single_pass_5core_matches_reference_semantics(self, tmp_path):
+        """The reference filters ONCE against the pre-filter counts
+        (`/root/reference/data/preprocessor.py:346-362`), then drops
+        short (< 5 event) user sequences AFTER grouping (`:391-393`) —
+        NOT an iterate-to-stable core. Pinned by an item whose count is
+        >= 5 only before its (light) raters are removed: single-pass keeps
+        it in the vocabulary, an iterative filter would not. Columns are
+        read user-first, exactly as the reference parses the raw csv."""
         rows = []
         ts = 0
-        # 6 heavy users x 6 heavy items = fully crossed (all counts >= 6).
+        # 6 heavy users x 6 heavy items = fully crossed (all counts 6).
         for u in range(6):
             for i in range(6):
                 ts += 1
-                rows.append((f"I{i}", f"U{u}", 5.0, ts))
-        # A light item rated by 3 heavy users + U_light (item count 4 ->
-        # dropped in round 1).
-        for u in range(3):
+                rows.append((f"U{u}", f"I{i}", 5.0, ts))
+        # I_x: rated by heavy U0 + four LIGHT users -> original item count 5
+        # (survives the single-pass item filter), but the light users'
+        # rows are removed by the user filter, leaving I_x with one event.
+        ts += 1
+        rows.append(("U0", "I_x", 3.0, ts))
+        for j in range(4):
             ts += 1
-            rows.append(("I_light", f"U{u}", 3.0, ts))
-        # A light user with 5 ratings, but one is on the light item: after
-        # the item drops, this user has 4 left -> second iteration drops
-        # the user entirely (exercises the iterate-until-stable loop).
+            rows.append((f"L{j}", "I_x", 2.0, ts))     # light: 1 rating each
+        path = tmp_path / "tmp/amzn_books/ratings.csv"
+        os.makedirs(path.parent, exist_ok=True)
+        pd.DataFrame(rows).to_csv(path, index=False, header=False)
+
+        proc = AmazonDataProcessor(
+            root=str(tmp_path), expected_num_unique_items=7
+        )
+        n = proc.preprocess_rating()
+        assert n == 7              # I_x stays in the vocab (single pass)
+        out = pd.read_csv(proc.output_format_csv())
+        assert len(out) == 6       # light users' rows all filtered
+        import ast
+
+        seqs = {
+            int(u): ast.literal_eval(s)
+            for u, s in zip(out["user_id"], out["sequence_item_ids"])
+        }
+        lengths = sorted(len(v) for v in seqs.values())
+        assert lengths == [6, 6, 6, 6, 6, 7]    # U0 keeps its I_x event
+        all_items = sorted({i for v in seqs.values() for i in v})
+        assert all_items == list(range(7))      # contiguous, 0-based
+
+    def test_post_group_sequence_filter_drops_short_users(self, tmp_path):
+        """A user whose events drop below 5 after the row filter is removed
+        by the post-group sequence-length filter (`preprocessor.py:391-393`)
+        while their surviving items stay in the vocabulary."""
+        rows = []
+        ts = 0
+        for u in range(6):
+            for i in range(6):
+                ts += 1
+                rows.append((f"U{u}", f"I{i}", 5.0, ts))
+        # U_mid rates 5 items: 4 heavy + 1 light item (count 1 -> item
+        # filtered). Original user count 5 -> survives the user filter,
+        # but the grouped sequence has 4 events -> dropped by the final
+        # length filter.
         for i in range(4):
             ts += 1
-            rows.append((f"I{i}", "U_light", 2.0, ts))
+            rows.append(("U_mid", f"I{i}", 4.0, ts))
         ts += 1
-        rows.append(("I_light", "U_light", 2.0, ts))
+        rows.append(("U_mid", "I_rare", 4.0, ts))
         path = tmp_path / "tmp/amzn_books/ratings.csv"
         os.makedirs(path.parent, exist_ok=True)
         pd.DataFrame(rows).to_csv(path, index=False, header=False)
@@ -170,16 +210,9 @@ class TestAmazonBooks:
         proc = AmazonDataProcessor(
             root=str(tmp_path), expected_num_unique_items=6
         )
-        n = proc.preprocess_rating()
-        assert n == 6
+        assert proc.preprocess_rating() == 6
         out = pd.read_csv(proc.output_format_csv())
-        assert len(out) == 6                       # U_light dropped too
-        import ast
-
-        all_items = sorted({
-            i for s in out["sequence_item_ids"] for i in ast.literal_eval(s)
-        })
-        assert all_items == list(range(6))         # contiguous, 0-based
+        assert len(out) == 6       # U_mid's 4-event sequence dropped
 
 
 class TestPreprocessToTrainEndToEnd:
