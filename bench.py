@@ -112,8 +112,9 @@ def run(batch_size: int) -> dict:
         length_distribution="ml20m",
     )
     train_ds = SequenceDataset(seqs, cfg.data.max_sequence_length, ignore_last_n=1)
-    batches = []
-    for i, b in enumerate(
+    # ALL 12 epoch batches: with length-sorted batching, a prefix would
+    # silently drop the longest (most expensive) users.
+    batches = list(
         train_ds.batches(
             batch_size=batch_size,
             max_output_length=cfg.train.gr_output_length + 1,
@@ -121,10 +122,7 @@ def run(batch_size: int) -> dict:
             sort_by_length=True,
             drop_last=True,
         )
-    ):
-        # ALL 12 epoch batches: with length-sorted batching, a prefix would
-        # silently drop the longest (most expensive) users.
-        batches.append(b)
+    )
     batch = batches[0]
     all_item_ids = np.arange(1, num_items + 1, dtype=np.int32)
     model, state, _, _ = create_train_state(cfg, num_items, all_item_ids, batch)
@@ -188,20 +186,25 @@ def run(batch_size: int) -> dict:
                 return carry + jnp.max(ranks), ranks
             seed, ranks = jax.lax.scan(body, seed, (feats, tgts))
             out.append(ranks)
-        return out
+        # A scalar that depends on EVERY group: fetching it forces the whole
+        # executable to completion even if the remote runtime resolved
+        # output buffers per definition event (fetching only out[0] — the
+        # cheapest group — would leave that unverified).
+        total = sum(jnp.sum(r) for r in out)
+        return out, total
 
     runs = len(batches)
 
     def time_sweep(grouped) -> float:
         """Best-of-3 per-batch seconds for one full sweep over `grouped`."""
         args = (params, es.topk_state, es.item_embeddings, grouped)
-        np.asarray(sweep_all(*args, jnp.int32(0))[0])  # compile + warm
+        np.asarray(sweep_all(*args, jnp.int32(0))[1])  # compile + warm
         best = float("inf")
         for i in range(3):
             # Distinct seed arg per sweep: defeats any (executable, args)
             # result caching in the remote runtime.
             t0 = time.perf_counter()
-            np.asarray(sweep_all(*args, jnp.int32(i + 1))[0])
+            np.asarray(sweep_all(*args, jnp.int32(i + 1))[1])
             best = min(best, (time.perf_counter() - t0) / runs)
         return best
 
@@ -233,9 +236,11 @@ def main() -> None:
     # The TPU is shared in this environment; fall back to smaller batches if
     # a run hits transient resource exhaustion.
     res = None
+    used_bs = None
     for bs in (512, 512, 128, 32):    # the tunnel throws transient errors —
         try:                          # retry the full size once before
             res = run(bs)             # shrinking
+            used_bs = bs
             break
         except Exception as e:                        # noqa: BLE001
             print(
@@ -246,7 +251,7 @@ def main() -> None:
     if res is None:
         raise SystemExit("bench failed at every batch size")
     qps = res["bucketed_qps"]
-    print(json.dumps({
+    out = {
         "metric": "exact_mol_top120_serving_qps_ml20m_scale",
         "value": round(qps, 2),
         "unit": "queries/sec/chip",
@@ -255,7 +260,13 @@ def main() -> None:
         "achieved_tflops": round(res["achieved_tflops"], 2),
         "mfu_pct": round(res["mfu_pct"], 2),
         "length_distribution": "ml20m-lognormal(median68,mean144.4,cap200)",
-    }))
+        # The protocol batch size is 512; smaller means the tunnel forced a
+        # degraded (RTT-bound) run — never silently comparable.
+        "batch_size": used_bs,
+    }
+    if used_bs != 512:
+        out["degraded"] = True
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

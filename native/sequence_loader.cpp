@@ -28,6 +28,7 @@ struct ParsedSequences {
   int32_t* ratings;       // [total_events]
   int64_t* timestamps;    // [total_events]
   char* error;            // nullptr on success
+  int64_t skipped_rows;   // malformed rows dropped (caller must surface)
 };
 
 namespace {
@@ -147,9 +148,12 @@ ParsedSequences* parse_sasrec_csv(const char* path) {
     bool row_ok = true;
     while (*p && *p != '\n') {
       // Locate the field boundary first (quote-aware), then parse it.
+      // Fields never span lines in this format, so '\n' terminates even
+      // inside quotes — an unterminated quote in one corrupt row must not
+      // swallow the rest of the file.
       const char* field_start = p;
       bool in_quote = false;
-      while (*p && (in_quote || (*p != ',' && *p != '\n'))) {
+      while (*p && *p != '\n' && (in_quote || *p != ',')) {
         if (*p == '"') in_quote = !in_quote;
         p++;
       }
@@ -170,10 +174,11 @@ ParsedSequences* parse_sasrec_csv(const char* path) {
       }
     }
     if (*p == '\n') p++;
-    if (!row_ok || row_items.empty()) continue;
-    if (row_items.size() != row_ratings.size() ||
+    if (!row_ok || row_items.empty() ||
+        row_items.size() != row_ratings.size() ||
         row_items.size() != row_ts.size()) {
-      continue;  // malformed row; skip (mirrors the reference's asserts)
+      out->skipped_rows++;  // surfaced to the caller — never a silent drop
+      continue;
     }
     users.push_back(uid);
     items.insert(items.end(), row_items.begin(), row_items.end());

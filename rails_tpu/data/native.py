@@ -34,6 +34,7 @@ class _ParsedSequences(ctypes.Structure):
         ("ratings", ctypes.POINTER(ctypes.c_int32)),
         ("timestamps", ctypes.POINTER(ctypes.c_int64)),
         ("error", ctypes.c_char_p),
+        ("skipped_rows", ctypes.c_int64),
     ]
 
 
@@ -60,11 +61,36 @@ def load_library(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
         if not (build_if_missing and _build_library()):
             _load_failed = True
             return None
-    lib = ctypes.CDLL(_LIB_PATH)
-    lib.parse_sasrec_csv.restype = ctypes.POINTER(_ParsedSequences)
-    lib.parse_sasrec_csv.argtypes = [ctypes.c_char_p]
-    lib.free_parsed_sequences.argtypes = [ctypes.POINTER(_ParsedSequences)]
-    lib.assemble_batch.restype = None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.parse_sasrec_csv.restype = ctypes.POINTER(_ParsedSequences)
+        lib.parse_sasrec_csv.argtypes = [ctypes.c_char_p]
+        lib.free_parsed_sequences.argtypes = [ctypes.POINTER(_ParsedSequences)]
+        lib.assemble_batch.restype = None
+    except OSError:
+        # Unloadable .so (interrupted build, foreign-arch copy, stale ABI):
+        # try ONE rebuild, else cache the failure and degrade to numpy.
+        import logging
+
+        if build_if_missing and _build_library():
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+                lib.parse_sasrec_csv.restype = ctypes.POINTER(_ParsedSequences)
+                lib.parse_sasrec_csv.argtypes = [ctypes.c_char_p]
+                lib.free_parsed_sequences.argtypes = [
+                    ctypes.POINTER(_ParsedSequences)
+                ]
+                lib.assemble_batch.restype = None
+                _lib = lib
+                return lib
+            except OSError:
+                pass
+        logging.getLogger("rails_tpu").warning(
+            "native loader %s failed to load; using the numpy fallback",
+            _LIB_PATH,
+        )
+        _load_failed = True
+        return None
     _lib = lib
     return lib
 
@@ -94,6 +120,21 @@ def parse_sasrec_csv_native(path: str):
             )
             return None
         nu, te = r.num_users, r.total_events
+        if r.skipped_rows:
+            import logging
+
+            if nu == 0:
+                # Every row unparseable: let the (more tolerant) python
+                # parser try rather than returning an empty dataset.
+                logging.getLogger("rails_tpu").warning(
+                    "native csv parse skipped ALL %d rows of %s; falling "
+                    "back to the python parser", r.skipped_rows, path,
+                )
+                return None
+            logging.getLogger("rails_tpu").warning(
+                "native csv parse skipped %d malformed row(s) of %s",
+                r.skipped_rows, path,
+            )
         out = RaggedSequences(
             user_ids=np.ctypeslib.as_array(r.user_ids, (nu,)).copy(),
             offsets=np.ctypeslib.as_array(r.offsets, (nu + 1,)).copy(),

@@ -71,6 +71,29 @@ def test_float_ratings_parse_in_both_paths(tmp_path, monkeypatch):
     np.testing.assert_array_equal(py.timestamps, nat.timestamps)
 
 
+def test_malformed_rows_are_counted_not_silently_dropped(tmp_path, caplog):
+    """A corrupt row (unterminated quote / unparseable list) is contained to
+    that row, skipped with a logged count — the rest of the file parses."""
+    import logging
+
+    path = os.path.join(tmp_path, "sasrec_format.csv")
+    with open(path, "w") as f:
+        f.write(
+            "index,user_id,sequence_item_ids,sequence_ratings,"
+            "sequence_timestamps\n"
+        )
+        f.write('0,1,"[1, 2]","[5, 4]","[10, 20]"\n')
+        # Unterminated quote: must not swallow the remainder of the file.
+        f.write('1,2,"[3, 4,"[1, 1]","[30, 40]"\n')
+        f.write('2,3,"[5, 6]","[2, 3]","[50, 60]"\n')
+    with caplog.at_level(logging.WARNING, logger="rails_tpu"):
+        seqs = native.parse_sasrec_csv_native(path)
+    assert seqs is not None
+    np.testing.assert_array_equal(seqs.user_ids, [1, 3])
+    np.testing.assert_array_equal(seqs.item_ids, [1, 2, 5, 6])
+    assert any("skipped 1 malformed" in r.message for r in caplog.records)
+
+
 def test_native_parse_matches_python(tmp_path):
     rng = np.random.default_rng(0)
     rows = []
