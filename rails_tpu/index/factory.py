@@ -39,14 +39,19 @@ def get_top_k_raw(top_k_method: str):
             )
         return raw
 
-    if top_k_method == "MoLBruteForceTopKFused":
+    # The Int8 spellings run the same fused algorithms; quantization lives
+    # in the STATE (built with quantize_fused=True — `get_eval_state`
+    # selects it from the method name).
+    if top_k_method in ("MoLBruteForceTopKFused", "MoLBruteForceTopKFusedInt8"):
         def raw(model, params, state, q, k, user_ids=None, item_embeddings=None):
             return tk.mol_brute_force_top_k_fused(
                 model, params, state, q, k, user_ids=user_ids
             )
         return raw
 
-    if top_k_method == "MoLBruteForceTopKFusedApprox":
+    if top_k_method in (
+        "MoLBruteForceTopKFusedApprox", "MoLBruteForceTopKFusedInt8Approx"
+    ):
         def raw(model, params, state, q, k, user_ids=None, item_embeddings=None):
             return tk.mol_brute_force_top_k_fused_approx(
                 model, params, state, q, k, user_ids=user_ids

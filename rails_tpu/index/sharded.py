@@ -75,20 +75,24 @@ def pad_and_shard_state(
         # shard unit on the trailing (corpus) axis and shard that axis.
         fpad = (x + pad) - ft.item_comp_t.shape[2]
         fpad_fn = np.pad if isinstance(ft.item_comp_t, np.ndarray) else jnp.pad
+        comp_t, part_t = ft.item_comp_t, ft.item_partial_t
+        cs, ps = ft.comp_scale, ft.partial_scale
         if fpad > 0:
-            comp_t = fpad_fn(ft.item_comp_t, ((0, 0), (0, 0), (0, fpad)))
-            part_t = fpad_fn(ft.item_partial_t, ((0, 0), (0, fpad)))
-        else:
-            comp_t = ft.item_comp_t
-            part_t = ft.item_partial_t
+            comp_t = fpad_fn(comp_t, ((0, 0), (0, 0), (0, fpad)))
+            part_t = fpad_fn(part_t, ((0, 0), (0, fpad)))
+            if cs is not None:
+                # Pad scales with 1 (dequantized pad rows stay exactly 0).
+                cs = fpad_fn(cs, ((0, 0), (0, fpad)), constant_values=1.0)
+                ps = fpad_fn(ps, ((0, 0), (0, fpad)), constant_values=1.0)
+        trail = NamedSharding(mesh, P(None, ITEM_AXIS))
         fused = FusedCorpusTables(
             item_comp_t=jax.device_put(
                 comp_t, NamedSharding(mesh, P(None, None, ITEM_AXIS))
             ),
-            item_partial_t=jax.device_put(
-                part_t, NamedSharding(mesh, P(None, ITEM_AXIS))
-            ),
+            item_partial_t=jax.device_put(part_t, trail),
             num_items=ft.num_items,
+            comp_scale=None if cs is None else jax.device_put(cs, trail),
+            partial_scale=None if ps is None else jax.device_put(ps, trail),
         )
     ivf = None
     if state.ivf is not None:
@@ -153,7 +157,10 @@ def make_sharded_top_k_fn(
     def local_algorithm(params_, state_l: MoLTopKState, q, user_ids):
         x_local = state_l.item_ids.shape[0]          # static inside shard_map
         k_local = min(k, x_local)
-        if top_k_method in ("MoLBruteForceTopKFused", "MoLBruteForceTopKFusedApprox"):
+        if top_k_method in (
+            "MoLBruteForceTopKFused", "MoLBruteForceTopKFusedApprox",
+            "MoLBruteForceTopKFusedInt8", "MoLBruteForceTopKFusedInt8Approx",
+        ):
             # Fused Pallas scoring per shard: the (B, X, L) logits and the
             # gating hidden layer never materialize in HBM — required at
             # multi-million-item shard sizes where the XLA path's
@@ -170,11 +177,16 @@ def make_sharded_top_k_fn(
             )
             qp = model.apply(params_, q, method=model.query_gating_partial)
             w = extract_gating_qi_weights(params_)
+            q_dtype = (
+                jnp.bfloat16 if ft.item_comp_t.dtype == jnp.int8
+                else ft.item_comp_t.dtype
+            )
             scores = fused_mol_scores_t(
-                q_comp.astype(ft.item_comp_t.dtype), qp,
+                q_comp.astype(q_dtype), qp,
                 ft.item_comp_t, ft.item_partial_t, w,
                 float(model.cfg.mol.temperature),
                 block_x=min(fused_block_x, ft.item_comp_t.shape[2]),
+                comp_scale=ft.comp_scale, partial_scale=ft.partial_scale,
             )                                        # (B, X_local)
             scores = jnp.where(state_l.item_ids[None, :] == 0, NEG_PAD, scores)
             if (
@@ -254,6 +266,14 @@ def make_sharded_top_k_fn(
                 item_comp_t=P(None, None, ITEM_AXIS),
                 item_partial_t=P(None, ITEM_AXIS),
                 num_items=state.fused_tables.num_items,
+                comp_scale=(
+                    P(None, ITEM_AXIS)
+                    if state.fused_tables.comp_scale is not None else None
+                ),
+                partial_scale=(
+                    P(None, ITEM_AXIS)
+                    if state.fused_tables.partial_scale is not None else None
+                ),
             )
             if state.fused_tables is not None
             else None

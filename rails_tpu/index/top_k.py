@@ -101,16 +101,20 @@ def build_mol_topk_state(
     build_fused: bool = False,
     fused_block_x: int = 256,
     fused_only: bool = False,
+    quantize_fused: bool = False,
 ) -> MoLTopKState:
     """Precompute item-side tables for a corpus (X, D).
 
     `table_dtype=bfloat16` matches the reference's bf16 component table
     (`mol_top_k.py:61-73`); the rerank itself runs through the model dtype.
+    `quantize_fused` stores the FUSED tables int8 with per-item scales
+    (half the HBM table read; scores approximate at int8 precision).
     """
     from rails_tpu.ops.pallas.mol_scoring import (
         FusedCorpusTables,
         m_major_perm,
         pad_corpus_tables,
+        quantize_fused_tables,
     )
 
     tables = _cached_tables_fn(model)(params, item_embeddings)
@@ -134,6 +138,8 @@ def build_mol_topk_state(
         fused = FusedCorpusTables(
             item_comp_t=item_t, item_partial_t=ip_t, num_items=comp.shape[0]
         )
+        if quantize_fused:
+            fused = jax.jit(quantize_fused_tables)(fused)
     if fused_only:
         # Fused-only serving: skip the standard-layout component table (it
         # would double corpus memory). All algorithms still work: the fused
@@ -412,10 +418,17 @@ def _fused_scores(
         params, query_embeddings, method=model.query_gating_partial
     )
     weights = extract_gating_qi_weights(params)
+    # int8 tables: queries stay in the matmul dtype (bf16); the kernel
+    # dequantizes the table blocks in VMEM.
+    q_dtype = (
+        jnp.bfloat16 if ft.item_comp_t.dtype == jnp.int8
+        else ft.item_comp_t.dtype
+    )
     return fused_mol_scores_t(
-        q_comp.astype(ft.item_comp_t.dtype), qp,
+        q_comp.astype(q_dtype), qp,
         ft.item_comp_t, ft.item_partial_t, weights,
         float(model.cfg.mol.temperature), block_x=block_x,
+        comp_scale=ft.comp_scale, partial_scale=ft.partial_scale,
     )[:, : ft.num_items]
 
 
@@ -521,6 +534,12 @@ def _gathered_candidate_tables(
     l = ft.item_partial_t.shape[0]
     inv = _inv_m_major_perm(l // p_x, p_x)
     gp = jnp.transpose(jnp.take(ft.item_partial_t[inv], idx, axis=1), (1, 2, 0))
+    if ft.comp_scale is not None:
+        # int8 tables: dequantize the gathered candidates (tiny — (B, K)).
+        cs = jnp.transpose(jnp.take(ft.comp_scale, idx, axis=1), (1, 2, 0))
+        comp = comp.astype(jnp.float32) * cs[..., None]        # (B,K,P_X,d_P)
+        ps = jnp.take(ft.partial_scale[0], idx, axis=0)        # (B, K)
+        gp = gp.astype(jnp.float32) * ps[..., None]
     return comp, gp
 
 
@@ -609,13 +628,18 @@ _dedup_rerank_top_k = dedup_rerank_top_k
 def _component_chunk(
     state: MoLTopKState, start: jnp.ndarray, size: int
 ) -> jnp.ndarray:
-    """(size, P_X, d_P) component-table slice from either layout."""
+    """(size, P_X, d_P) component-table slice from either layout
+    (int8 fused tables dequantize per chunk)."""
     it = state.item_tables.component_embeddings
     if it.shape[0] > 0:
         return jax.lax.dynamic_slice_in_dim(it, start, size, axis=0)
     ft = state.fused_tables
     sl = jax.lax.dynamic_slice_in_dim(ft.item_comp_t, start, size, axis=2)
-    return jnp.transpose(sl, (2, 0, 1))
+    out = jnp.transpose(sl, (2, 0, 1))
+    if ft.comp_scale is not None:
+        cs = jax.lax.dynamic_slice_in_dim(ft.comp_scale, start, size, axis=1)
+        out = out.astype(jnp.float32) * cs.T[:, :, None]
+    return out
 
 
 def _naive_candidates(
@@ -648,16 +672,21 @@ def _naive_candidates(
             "state holds neither standard nor fused component tables"
         )
     table_dtype = it.dtype if has_std else state.fused_tables.item_comp_t.dtype
+    if table_dtype == jnp.int8:
+        table_dtype = jnp.float32    # int8 chunks dequantize to f32
     q_comp = q_comp.astype(table_dtype)
     b, p_q, _ = q_comp.shape
     x = state.item_ids.shape[0]
     k_per_group = min(k_per_group, x)
 
     if x <= corpus_chunk:
-        comp = (
-            it if has_std
-            else jnp.transpose(state.fused_tables.item_comp_t, (2, 0, 1))[:x]
-        )
+        if has_std:
+            comp = it
+        else:
+            ft = state.fused_tables
+            comp = jnp.transpose(ft.item_comp_t, (2, 0, 1))[:x]
+            if ft.comp_scale is not None:
+                comp = comp.astype(jnp.float32) * ft.comp_scale.T[:x, :, None]
         outs = []
         for n in range(p_q):
             sims = jnp.einsum(

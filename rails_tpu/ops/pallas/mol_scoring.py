@@ -52,14 +52,18 @@ def _kernel(
     b1_ref,       # (1, H)
     w2_ref,       # (H, L)
     b2_ref,       # (1, L)
-    out_ref,      # (B, TX)
-    logits_ref,   # scratch (L, B, TX) f32
-    *,
+    *refs,        # [comp_scale (P_X, TX), ip_scale (1, TX)]? out, scratch
     p_q: int,
     p_x: int,
     inv_temperature: float,
     mlp_dtype,
+    quantized: bool = False,
 ):
+    if quantized:
+        cs_ref, ips_ref, out_ref, logits_ref = refs
+    else:
+        out_ref, logits_ref = refs
+        cs_ref = ips_ref = None
     b = q_ref.shape[1]
     d_p = q_ref.shape[2]
     tx = item_ref.shape[2]
@@ -74,12 +78,21 @@ def _kernel(
     # most of the logits-stage cost). The gating weights / partials arrive
     # permuted to match (see `m_major_perm`); the final sum over l is
     # order-invariant, so scores are unchanged.
+    #
+    # int8 tables: the block dequantizes to the matmul dtype in VMEM and the
+    # per-(component, item) scale folds in AFTER the matmul (mathematically
+    # identical to scaling the table; HBM reads halve, which is the whole
+    # point in the bandwidth-bound huge-corpus regime).
     q_flat = q_ref[:].reshape(p_q * b, d_p)
     for m in range(p_x):
         im = item_ref[m]                       # (d_P, TX)
+        if quantized:
+            im = im.astype(mlp_dtype)
+        raw = jnp.dot(q_flat, im, preferred_element_type=jnp.float32)
+        if quantized:
+            raw = raw * cs_ref[m][None, :].astype(jnp.float32)
         logits_ref[m * p_q : (m + 1) * p_q] = (
-            jnp.dot(q_flat, im, preferred_element_type=jnp.float32)
-            * inv_temperature
+            raw * inv_temperature
         ).reshape(p_q, b, tx)
 
     logits = logits_ref[:].reshape(l, b * tx)              # (L, B*TX) f32
@@ -104,9 +117,12 @@ def _kernel(
     qi = (qi + b2_ref[0][:, None]).reshape(l, b, tx)
 
     # glu_silu combination: gi = qp*ip + qi; gw = gi * sigmoid(gi).
+    ip = ip_ref[:].astype(jnp.float32)
+    if quantized:
+        ip = ip * ips_ref[0][None, :].astype(jnp.float32)
     gi = (
         qp_ref[:].astype(jnp.float32).T[:, :, None]
-        * ip_ref[:].astype(jnp.float32)[:, None, :]
+        * ip[:, None, :]
         + qi
     )
     gw = gi * _sigmoid_tanh(gi)
@@ -163,18 +179,50 @@ class FusedCorpusTables(NamedTuple):
 
     Registered as a pytree with `num_items` as static aux data so the
     unpadded corpus size stays a Python int (it bounds a static slice) when
-    the tables travel through jit as runtime arguments."""
+    the tables travel through jit as runtime arguments.
 
-    item_comp_t: jnp.ndarray      # (P_X, d_P, X_padded)
-    item_partial_t: jnp.ndarray   # (L, X_padded)
+    int8 tables (`quantize_fused_tables`) carry per-(component, item) /
+    per-item symmetric scales; the kernel dequantizes in VMEM, halving the
+    HBM table traffic that dominates huge-corpus exact scoring."""
+
+    item_comp_t: jnp.ndarray      # (P_X, d_P, X_padded) bf16/f32 or int8
+    item_partial_t: jnp.ndarray   # (L, X_padded)        bf16/f32 or int8
     num_items: int                # original (unpadded) X
+    comp_scale: Optional[jnp.ndarray] = None      # (P_X, X_padded) f32
+    partial_scale: Optional[jnp.ndarray] = None   # (1, X_padded) f32
 
 
 jax.tree_util.register_pytree_node(
     FusedCorpusTables,
-    lambda t: ((t.item_comp_t, t.item_partial_t), t.num_items),
-    lambda aux, ch: FusedCorpusTables(ch[0], ch[1], aux),
+    lambda t: (
+        (t.item_comp_t, t.item_partial_t, t.comp_scale, t.partial_scale),
+        t.num_items,
+    ),
+    lambda aux, ch: FusedCorpusTables(ch[0], ch[1], aux, ch[2], ch[3]),
 )
+
+
+def quantize_fused_tables(tables: FusedCorpusTables) -> FusedCorpusTables:
+    """Symmetric int8 quantization of kernel-layout tables.
+
+    Scales are per-(component, item) for the component table (max|.| over
+    the d_P axis / 127) and per-item for the gating partial (max over L).
+    Zero rows (corpus padding) get scale 1 so dequantized values stay 0."""
+    comp = tables.item_comp_t.astype(jnp.float32)      # (P_X, d_P, X)
+    part = tables.item_partial_t.astype(jnp.float32)   # (L, X)
+    cs = jnp.maximum(jnp.max(jnp.abs(comp), axis=1), 1e-12) / 127.0
+    ps = jnp.maximum(jnp.max(jnp.abs(part), axis=0, keepdims=True), 1e-12) / 127.0
+    comp_q = jnp.clip(
+        jnp.round(comp / cs[:, None, :]), -127, 127
+    ).astype(jnp.int8)
+    part_q = jnp.clip(jnp.round(part / ps), -127, 127).astype(jnp.int8)
+    return FusedCorpusTables(
+        item_comp_t=comp_q,
+        item_partial_t=part_q,
+        num_items=tables.num_items,
+        comp_scale=cs.astype(jnp.float32),
+        partial_scale=ps.astype(jnp.float32),
+    )
 
 
 def prepare_fused_tables(
@@ -211,12 +259,17 @@ def fused_mol_scores_t(
     block_x: int = 256,
     block_b: int = 32,
     interpret: Optional[bool] = None,
+    comp_scale: Optional[jnp.ndarray] = None,      # (P_X, X), int8 tables
+    partial_scale: Optional[jnp.ndarray] = None,   # (1, X), int8 tables
 ) -> jnp.ndarray:
     """(B, X) MoL scores against pre-transposed corpus tables.
 
     The grid tiles both the corpus (block_x) and the query batch (block_b);
     per-step VMEM peaks at ~ block_b * block_x * 4 * (H + 3L) bytes, so large
     batches stay within the ~16 MB VMEM budget.
+
+    int8 tables (with `comp_scale`/`partial_scale` from
+    `quantize_fused_tables`) dequantize in VMEM — half the HBM table read.
 
     `interpret=None` auto-selects interpreter mode on CPU (tests / virtual
     meshes run the same code path; the 'axon'-tunneled TPU compiles)."""
@@ -226,11 +279,20 @@ def fused_mol_scores_t(
     p_x, _, x = item_comp_t.shape
     l = p_q * p_x
     h = weights.w1.shape[1]
+    quantized = item_comp_t.dtype == jnp.int8
+    if quantized:
+        assert comp_scale is not None and partial_scale is not None, (
+            "int8 tables need comp_scale/partial_scale "
+            "(quantize_fused_tables)"
+        )
     # Gating-MLP compute dtype follows the table dtype: bf16 tables (the
     # serving default) take the fast bf16 MXU path, f32 tables keep full
-    # precision (the exactness tests use f32).
+    # precision (the exactness tests use f32). int8 tables dequantize to
+    # bf16 for the matmuls.
     mlp_dtype = (
-        jnp.bfloat16 if item_comp_t.dtype == jnp.bfloat16 else jnp.float32
+        jnp.bfloat16
+        if item_comp_t.dtype in (jnp.bfloat16, jnp.int8)
+        else jnp.float32
     )
     assert x % block_x == 0, f"X={x} not a multiple of block_x={block_x}"
     assert weights.w1.shape[0] == l and weights.w2.shape == (h, l)
@@ -255,25 +317,35 @@ def fused_mol_scores_t(
     grid = (bp // block_b, x // block_x)
     kernel = functools.partial(
         _kernel, p_q=p_q, p_x=p_x, inv_temperature=1.0 / temperature,
-        mlp_dtype=mlp_dtype,
+        mlp_dtype=mlp_dtype, quantized=quantized,
     )
+    in_specs = [
+        pl.BlockSpec((p_q, block_b, d_p), lambda j, i: (0, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_b, l), lambda j, i: (j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((p_x, d_p, block_x), lambda j, i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((l, block_x), lambda j, i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((l, h), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, l), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, l), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [qT, qpT, itemT, ipT, w1p, weights.b1, w2p, b2p]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((p_x, block_x), lambda j, i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_x), lambda j, i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [comp_scale, partial_scale]
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((p_q, block_b, d_p), lambda j, i: (0, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, l), lambda j, i: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((p_x, d_p, block_x), lambda j, i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((l, block_x), lambda j, i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((l, h), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, l), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, l), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((block_b, block_x), lambda j, i: (j, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bp, x), jnp.float32),
@@ -293,7 +365,7 @@ def fused_mol_scores_t(
             transcendentals=b * x * l * 2,
         ),
         interpret=interpret,
-    )(qT, qpT, itemT, ipT, w1p, weights.b1, w2p, b2p)
+    )(*args)
     return out[:b]
 
 

@@ -102,6 +102,7 @@ def get_eval_state(
         state = build_mol_topk_state(
             model, params, ids, item_emb, table_dtype=table_dtype,
             build_fused="Fused" in top_k_method,
+            quantize_fused="Int8" in top_k_method,
         )
     if re.fullmatch(r"MoLIVFTopK\d+", top_k_method):
         from rails_tpu.index.ivf import build_ivf_index

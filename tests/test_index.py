@@ -254,6 +254,65 @@ class TestApproximateAlgorithms:
             np.asarray(fused.ids), np.asarray(std.ids)
         )
 
+    def test_int8_quantized_tables_high_overlap(self, trained):
+        """int8 tables (half the HBM read) keep near-exact retrieval: top-k
+        id overlap vs the f32 fused path stays high and scores track within
+        quantization tolerance. The state carries the quantization; the
+        Int8 method spellings select it."""
+        cfg, ds, model, params, batches = trained
+        es32 = get_eval_state(
+            model, params, ds.all_item_ids, "MoLBruteForceTopKFused",
+            table_dtype=jnp.float32,
+        )
+        es8 = get_eval_state(
+            model, params, ds.all_item_ids, "MoLBruteForceTopKFusedInt8",
+            table_dtype=jnp.float32,
+        )
+        assert es8.topk_state.fused_tables.item_comp_t.dtype == jnp.int8
+        assert es8.topk_state.fused_tables.comp_scale is not None
+        feats = batches[0].features
+        q = model.apply(params, feats, method=model.encode)
+        exact = es32.top_k_fn(q, 20, user_ids=feats.user_ids)
+        quant = es8.top_k_fn(q, 20, user_ids=feats.user_ids)
+        overlap = np.mean([
+            np.intersect1d(a, b).size / 20
+            for a, b in zip(np.asarray(quant.ids), np.asarray(exact.ids))
+        ])
+        assert overlap >= 0.9, overlap
+        # Scores of the agreed items track closely.
+        np.testing.assert_allclose(
+            np.asarray(quant.scores[:, 0]), np.asarray(exact.scores[:, 0]),
+            rtol=0.05, atol=0.05,
+        )
+
+    def test_int8_fused_only_rerank_paths_dequantize(self, trained):
+        """fused_only + int8: the gathered-rerank algorithms (Naive) must
+        dequantize candidates — full budget stays within quantization
+        tolerance of the f32 exact scores."""
+        cfg, ds, model, params, batches = trained
+        from rails_tpu.ops.pallas.mol_scoring import quantize_fused_tables
+
+        es32 = get_eval_state(
+            model, params, ds.all_item_ids, "MoLBruteForceTopK",
+            table_dtype=jnp.float32,
+        )
+        state8 = tk.build_mol_topk_state(
+            model, params, es32.all_item_ids, es32.item_embeddings,
+            table_dtype=jnp.float32, build_fused=True, fused_block_x=32,
+            fused_only=True, quantize_fused=True,
+        )
+        feats = batches[0].features
+        q = model.apply(params, feats, method=model.encode)
+        ref = es32.top_k_fn(q, 10, user_ids=feats.user_ids)
+        got = tk.mol_naive_top_k(
+            model, params, state8, q, 10, k_per_group=300,
+            user_ids=feats.user_ids,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.scores), np.asarray(ref.scores), rtol=0.05,
+            atol=0.05,
+        )
+
     def test_naive_dedup_no_duplicate_ids(self, trained):
         cfg, ds, model, params, batches = trained
         es = get_eval_state(

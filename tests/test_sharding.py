@@ -166,6 +166,44 @@ class TestShardedTopK:
             np.asarray(res.scores), np.asarray(ref.scores), rtol=1e-4, atol=1e-4
         )
 
+    def test_sharded_int8_tables_match_unsharded_int8(self, trained):
+        """int8 fused tables shard with their scales; the merged sharded
+        result equals the single-device int8 result exactly (same
+        quantization, same scores)."""
+        cfg, ds, model, params, batches = trained
+        from rails_tpu.index.top_k import build_mol_topk_state
+
+        state8 = build_mol_topk_state(
+            model, params, np.asarray(ds.all_item_ids),
+            get_eval_state(
+                model, params, ds.all_item_ids, "MoLBruteForceTopK",
+                table_dtype=jnp.float32,
+            ).item_embeddings,
+            table_dtype=jnp.float32, build_fused=True, fused_block_x=32,
+            quantize_fused=True,
+        )
+        feats = batches[0].features
+        q = model.apply(params, feats, method=model.encode)
+        from rails_tpu.index.top_k import mol_brute_force_top_k_fused
+
+        ref = mol_brute_force_top_k_fused(
+            model, params, state8, q, 15, user_ids=feats.user_ids,
+            block_x=32,
+        )
+        mesh = make_mesh(MeshConfig(item_parallel=2))
+        sh_state = pad_and_shard_state(state8, mesh, fused_block_x=32)
+        assert sh_state.fused_tables.comp_scale is not None
+        fn = make_sharded_top_k_fn(
+            "MoLBruteForceTopKFusedInt8", model, replicate(params, mesh),
+            sh_state, mesh, k=15, fused_block_x=32,
+        )
+        res = fn(q, user_ids=feats.user_ids)
+        np.testing.assert_array_equal(np.asarray(res.ids), np.asarray(ref.ids))
+        np.testing.assert_allclose(
+            np.asarray(res.scores), np.asarray(ref.scores), rtol=1e-5,
+            atol=1e-5,
+        )
+
     def test_sharded_budgets_parse_from_method_name(self, trained):
         """Budgets in the method NAME override the k_per_group/avg_top_k
         params (same contract as the unsharded factory): a full-budget
