@@ -157,11 +157,32 @@ def main(argv=None) -> None:
         state_tk = build_mol_topk_state(
             model, params, ids, item_emb, table_dtype=jnp.bfloat16,
             build_fused="Fused" in args.method,
+            quantize_fused="Int8" in args.method,
+        )
+    if "Int8" in args.method and state_tk.fused_tables is not None and (
+        state_tk.fused_tables.comp_scale is None
+    ):
+        # Chunked builders emit bf16; quantize after the fact (host-side
+        # when the tables are host-staged — no unsharded device round trip).
+        import numpy as _np
+
+        from rails_tpu.ops.pallas.mol_scoring import (
+            quantize_fused_tables, quantize_fused_tables_np,
+        )
+
+        quant = (
+            quantize_fused_tables_np
+            if isinstance(state_tk.fused_tables.item_comp_t, _np.ndarray)
+            else jax.jit(quantize_fused_tables)
+        )
+        state_tk = state_tk._replace(
+            fused_tables=quant(state_tk.fused_tables)
         )
     if state_tk.fused_tables is not None:
+        itemsize = state_tk.fused_tables.item_comp_t.dtype.itemsize
         bytes_tables = (
-            state_tk.fused_tables.item_comp_t.size * 2
-            + state_tk.fused_tables.item_partial_t.size * 2
+            state_tk.fused_tables.item_comp_t.size * itemsize
+            + state_tk.fused_tables.item_partial_t.size * itemsize
         )
     else:
         bytes_tables = (

@@ -207,7 +207,8 @@ def quantize_fused_tables(tables: FusedCorpusTables) -> FusedCorpusTables:
 
     Scales are per-(component, item) for the component table (max|.| over
     the d_P axis / 127) and per-item for the gating partial (max over L).
-    Zero rows (corpus padding) get scale 1 so dequantized values stay 0."""
+    Zero rows (corpus padding) get scale ~0 clamped to 1e-12, so
+    dequantized values stay exactly 0."""
     comp = tables.item_comp_t.astype(jnp.float32)      # (P_X, d_P, X)
     part = tables.item_partial_t.astype(jnp.float32)   # (L, X)
     cs = jnp.maximum(jnp.max(jnp.abs(comp), axis=1), 1e-12) / 127.0
@@ -222,6 +223,28 @@ def quantize_fused_tables(tables: FusedCorpusTables) -> FusedCorpusTables:
         num_items=tables.num_items,
         comp_scale=cs.astype(jnp.float32),
         partial_scale=ps.astype(jnp.float32),
+    )
+
+
+def quantize_fused_tables_np(tables: FusedCorpusTables) -> FusedCorpusTables:
+    """Host-side (numpy) mirror of `quantize_fused_tables`, for
+    `keep_on_host` chunked builds where the bf16 tables must never make an
+    unsharded device round trip."""
+    import numpy as np
+    import ml_dtypes  # noqa: F401  (numpy bf16 view support)
+
+    comp = np.asarray(tables.item_comp_t, dtype=np.float32)
+    part = np.asarray(tables.item_partial_t, dtype=np.float32)
+    cs = np.maximum(np.max(np.abs(comp), axis=1), 1e-12) / 127.0
+    ps = np.maximum(np.max(np.abs(part), axis=0, keepdims=True), 1e-12) / 127.0
+    comp_q = np.clip(np.round(comp / cs[:, None, :]), -127, 127).astype(np.int8)
+    part_q = np.clip(np.round(part / ps), -127, 127).astype(np.int8)
+    return FusedCorpusTables(
+        item_comp_t=comp_q,
+        item_partial_t=part_q,
+        num_items=tables.num_items,
+        comp_scale=cs.astype(np.float32),
+        partial_scale=ps.astype(np.float32),
     )
 
 
