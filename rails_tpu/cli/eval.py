@@ -40,6 +40,16 @@ def main(argv=None) -> None:
         help="shard the corpus over N mesh devices (distributed top-k merge)",
     )
     p.add_argument(
+        "--save-serving-state", default=None, metavar="DIR",
+        help="persist the built corpus tables (Orbax) for fast server "
+        "cold starts via --load-serving-state",
+    )
+    p.add_argument(
+        "--load-serving-state", default=None, metavar="DIR",
+        help="restore precomputed corpus tables instead of re-embedding "
+        "the corpus (rails_tpu/index/serving_state.py)",
+    )
+    p.add_argument(
         "--sort-by-length", action="store_true",
         help="length-sorted batches truncated to their own padded max "
         "(multiple of 64) — the dense counterpart of the reference's "
@@ -128,10 +138,26 @@ def main(argv=None) -> None:
         logging.info("restored checkpoint %s (epoch %d)", args.ckpt, epoch)
     params = state.params
 
-    eval_state = ev.get_eval_state(
-        model, params, ds.all_item_ids, top_k_method,
-        item_l2_norm=t.item_l2_norm, l2_norm_eps=t.l2_norm_eps,
-    )
+    if args.load_serving_state:
+        from rails_tpu.index.serving_state import load_serving_state
+
+        eval_state = load_serving_state(args.load_serving_state, model, params)
+        if eval_state.top_k_method != top_k_method:
+            logging.info(
+                "serving state was saved for %s; using it (requested %s)",
+                eval_state.top_k_method, top_k_method,
+            )
+            top_k_method = eval_state.top_k_method
+    else:
+        eval_state = ev.get_eval_state(
+            model, params, ds.all_item_ids, top_k_method,
+            item_l2_norm=t.item_l2_norm, l2_norm_eps=t.l2_norm_eps,
+        )
+    if args.save_serving_state:
+        from rails_tpu.index.serving_state import save_serving_state
+
+        out_path = save_serving_state(args.save_serving_state, eval_state)
+        logging.info("serving state saved to %s", out_path)
     k = min(args.k if not args.include_eval_time else 120, len(ds.all_item_ids))
 
     mesh = None

@@ -148,6 +148,19 @@ def test_registry_builds_every_config_and_fast_variants():
         ) == base
 
 
+def test_eval_cli_serving_state_roundtrip(tmp_path, capsys):
+    """--save-serving-state then --load-serving-state reproduce identical
+    metrics without re-embedding the corpus."""
+    from rails_tpu.cli.eval import main
+
+    common = ["--config", "synthetic-small", "--k", "20"] + TINY
+    main(common + ["--save-serving-state", str(tmp_path / "ss")])
+    first = capsys.readouterr().out.strip().splitlines()[-1]
+    main(common + ["--load-serving-state", str(tmp_path / "ss")])
+    second = capsys.readouterr().out.strip().splitlines()[-1]
+    assert first == second
+
+
 def test_train_bench_cli_smoke(capsys):
     """`cli/train_bench` runs end to end on tiny synthetic geometry."""
     from rails_tpu.cli.train_bench import main

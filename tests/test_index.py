@@ -329,6 +329,39 @@ class TestApproximateAlgorithms:
             assert len(np.unique(kept)) == len(kept)
 
 
+class TestServingStatePersistence:
+    @pytest.mark.parametrize(
+        "method", ["MoLBruteForceTopK", "MoLBruteForceTopKFusedInt8",
+                   "MoLIVFTopK4"],
+    )
+    def test_save_load_roundtrip_identical_results(self, trained, tmp_path, method):
+        """Persisted serving state (standard, int8 fused, IVF) restores to
+        identical retrieval results without re-embedding the corpus."""
+        from rails_tpu.index.serving_state import (
+            load_serving_state,
+            save_serving_state,
+        )
+
+        cfg, ds, model, params, batches = trained
+        es = get_eval_state(
+            model, params, ds.all_item_ids, method, table_dtype=jnp.float32,
+        )
+        feats = batches[0].features
+        q = model.apply(params, feats, method=model.encode)
+        want = es.top_k_fn(q, 15, user_ids=feats.user_ids)
+
+        path = str(tmp_path / "serving_state")
+        save_serving_state(path, es)
+        es2 = load_serving_state(path, model, params)
+        assert es2.top_k_method == method
+        assert es2.num_objects == es.num_objects
+        got = es2.top_k_fn(q, 15, user_ids=feats.user_ids)
+        np.testing.assert_array_equal(np.asarray(got.ids), np.asarray(want.ids))
+        np.testing.assert_allclose(
+            np.asarray(got.scores), np.asarray(want.scores), rtol=1e-6,
+        )
+
+
 class TestLatencyHarness:
     def test_scanned_latency_stats(self, trained):
         """include_eval_time uses the in-jit scanned reps
