@@ -142,6 +142,12 @@ def main(argv=None) -> None:
         from rails_tpu.index.serving_state import load_serving_state
 
         eval_state = load_serving_state(args.load_serving_state, model, params)
+        if eval_state.num_objects != len(ds.all_item_ids):
+            raise SystemExit(
+                f"serving state holds {eval_state.num_objects} items but the "
+                f"dataset has {len(ds.all_item_ids)} — the state was saved "
+                "for a different corpus/config"
+            )
         if eval_state.top_k_method != top_k_method:
             logging.info(
                 "serving state was saved for %s; using it (requested %s)",

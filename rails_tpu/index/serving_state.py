@@ -40,8 +40,6 @@ def _ckptr():
 
 def save_serving_state(path: str, eval_state) -> str:
     """Write an `EvalState`'s corpus tables + metadata under `path`."""
-    from rails_tpu.ops.pallas.mol_scoring import FusedCorpusTables
-
     st = eval_state.topk_state
     payload = {
         "item_ids": jax.device_get(st.item_ids),
@@ -83,6 +81,16 @@ def save_serving_state(path: str, eval_state) -> str:
         payload["ivf"] = {
             f: v for f, v in ivf_dict.items() if v.size > 0
         }
+    # Orbax refuses zero-size arrays (e.g. MIPS states carry empty MoL
+    # tables); carry every empty leaf's shape/dtype in the metadata instead.
+    empty = {}
+    for key in list(payload):
+        v = payload[key]
+        if v is not None and not isinstance(v, dict) and np.asarray(v).size == 0:
+            a = np.asarray(v)
+            empty[key] = [list(a.shape), str(a.dtype)]
+            del payload[key]
+    meta["empty_leaves"] = empty
     path = os.path.abspath(path)
     _ckptr().save(path, payload, force=True)
     if jax.process_index() == 0:
@@ -91,11 +99,17 @@ def save_serving_state(path: str, eval_state) -> str:
     return path
 
 
-def load_serving_state(path: str, model, params):
+def load_serving_state(path: str, model, params, host: bool = False):
     """Restore a saved serving state and rebind the top-k fn to `params`.
 
     Returns an `EvalState` equivalent to `get_eval_state(...)` on the same
-    corpus/method — without re-running the corpus embed or table build."""
+    corpus/method — without re-running the corpus embed or table build.
+
+    `host=True` keeps the tables as host numpy arrays and skips building
+    the (single-device) top-k fn — for multi-chip serving, hand the state
+    to `pad_and_shard_state`, which performs ONE host->sharded-device
+    transfer instead of double-buffering an unsharded copy on device 0
+    (the default placement would OOM a chip at near-HBM corpus sizes)."""
     from rails_tpu.ops.pallas.mol_scoring import FusedCorpusTables
     from rails_tpu.train.evaluation import EvalState
 
@@ -103,7 +117,9 @@ def load_serving_state(path: str, model, params):
     with open(path + ".meta.json") as f:
         meta = json.load(f)
     raw = _ckptr().restore(path)
-    to_dev = jax.numpy.asarray
+    for key, (shape, dtype) in meta.get("empty_leaves", {}).items():
+        raw[key] = np.zeros(shape, dtype=np.dtype(dtype))
+    to_dev = np.asarray if host else jax.numpy.asarray
 
     fused = None
     if meta["has_fused"]:
@@ -142,9 +158,12 @@ def load_serving_state(path: str, model, params):
         ivf=ivf,
     )
     item_emb = to_dev(raw["item_embeddings"])
-    top_k_fn = get_top_k_fn(
-        meta["top_k_method"], model, params, state, item_embeddings=item_emb
-    )
+    top_k_fn = None
+    if not host:
+        top_k_fn = get_top_k_fn(
+            meta["top_k_method"], model, params, state,
+            item_embeddings=item_emb,
+        )
     return EvalState(
         all_item_ids=state.item_ids,
         item_embeddings=item_emb,

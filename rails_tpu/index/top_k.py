@@ -71,6 +71,20 @@ def _cached_tables_fn(model):
     return entry[0]
 
 
+_QUANTIZE_JIT = None
+
+
+def _cached_quantize_fn():
+    """One module-level jit of table quantization — a fresh jit(lambda) per
+    build would recompile the corpus-sized quantization every epoch."""
+    global _QUANTIZE_JIT
+    if _QUANTIZE_JIT is None:
+        from rails_tpu.ops.pallas.mol_scoring import quantize_fused_tables
+
+        _QUANTIZE_JIT = jax.jit(quantize_fused_tables)
+    return _QUANTIZE_JIT
+
+
 class TopKResult(NamedTuple):
     scores: jnp.ndarray   # (B, K)
     ids: jnp.ndarray      # (B, K)
@@ -139,7 +153,7 @@ def build_mol_topk_state(
             item_comp_t=item_t, item_partial_t=ip_t, num_items=comp.shape[0]
         )
         if quantize_fused:
-            fused = jax.jit(quantize_fused_tables)(fused)
+            fused = _cached_quantize_fn()(fused)
     if fused_only:
         # Fused-only serving: skip the standard-layout component table (it
         # would double corpus memory). All algorithms still work: the fused

@@ -382,7 +382,11 @@ def fused_mol_scores_t(
             flops=2 * b * x * l * (d_p + 2 * h),
             bytes_accessed=(
                 (itemT.size * itemT.dtype.itemsize
-                 + ipT.size * ipT.dtype.itemsize) * (bp // block_b)
+                 + ipT.size * ipT.dtype.itemsize
+                 + (
+                     (comp_scale.size + partial_scale.size) * 4
+                     if quantized else 0
+                 )) * (bp // block_b)
                 + b * x * 4
             ),
             transcendentals=b * x * l * 2,

@@ -290,8 +290,6 @@ class TestApproximateAlgorithms:
         dequantize candidates — full budget stays within quantization
         tolerance of the f32 exact scores."""
         cfg, ds, model, params, batches = trained
-        from rails_tpu.ops.pallas.mol_scoring import quantize_fused_tables
-
         es32 = get_eval_state(
             model, params, ds.all_item_ids, "MoLBruteForceTopK",
             table_dtype=jnp.float32,
@@ -332,7 +330,7 @@ class TestApproximateAlgorithms:
 class TestServingStatePersistence:
     @pytest.mark.parametrize(
         "method", ["MoLBruteForceTopK", "MoLBruteForceTopKFusedInt8",
-                   "MoLIVFTopK4"],
+                   "MoLIVFTopK4", "MIPSBruteForceTopK"],
     )
     def test_save_load_roundtrip_identical_results(self, trained, tmp_path, method):
         """Persisted serving state (standard, int8 fused, IVF) restores to
@@ -360,6 +358,33 @@ class TestServingStatePersistence:
         np.testing.assert_allclose(
             np.asarray(got.scores), np.asarray(want.scores), rtol=1e-6,
         )
+
+    def test_host_load_feeds_sharded_upload(self, trained, tmp_path):
+        """host=True restores numpy tables (no unsharded device copy) that
+        pad_and_shard_state uploads directly to the sharded layout."""
+        import jax
+        from rails_tpu.core.config import MeshConfig
+        from rails_tpu.core.mesh import make_mesh
+        from rails_tpu.index.serving_state import (
+            load_serving_state,
+            save_serving_state,
+        )
+        from rails_tpu.index.sharded import pad_and_shard_state
+
+        cfg, ds, model, params, batches = trained
+        es = get_eval_state(
+            model, params, ds.all_item_ids, "MoLBruteForceTopK",
+            table_dtype=jnp.float32,
+        )
+        path = str(tmp_path / "ss_host")
+        save_serving_state(path, es)
+        es_h = load_serving_state(path, model, params, host=True)
+        assert es_h.top_k_fn is None
+        assert isinstance(es_h.topk_state.item_ids, np.ndarray)
+        mesh = make_mesh(MeshConfig(item_parallel=2))
+        sh = pad_and_shard_state(es_h.topk_state, mesh)
+        assert jax.devices()[0].platform == "cpu"
+        assert sh.item_ids.shape[0] % 2 == 0
 
 
 class TestLatencyHarness:
