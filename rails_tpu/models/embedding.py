@@ -13,6 +13,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from rails_tpu.ops.pallas.scatter_add import gather_rows
+
 
 def item_emb_init(stddev: float = 0.02):
     """Truncated-normal with the padding row (id 0) zeroed
@@ -30,6 +32,10 @@ class LocalEmbeddingModule(nn.Module):
 
     num_items: int
     item_embedding_dim: int
+    # Backward of the gather through the binned Pallas scatter-add
+    # (`ops/pallas/scatter_add.py`) instead of XLA's serialized row
+    # scatter. Identical dense cotangent (fp32 accumulation).
+    scatter_grad_kernel: bool = False
 
     @nn.compact
     def __call__(self, item_ids: jnp.ndarray) -> jnp.ndarray:
@@ -37,6 +43,8 @@ class LocalEmbeddingModule(nn.Module):
             "embedding", item_emb_init(),
             (self.num_items + 1, self.item_embedding_dim),
         )
+        if self.scatter_grad_kernel:
+            return gather_rows(table, item_ids)
         return table[item_ids]
 
 
@@ -51,6 +59,7 @@ class CategoricalEmbeddingModule(nn.Module):
     num_categories: int
     item_embedding_dim: int
     item_id_to_category_id: Any        # (max_item_id,) int array
+    scatter_grad_kernel: bool = False
 
     @nn.compact
     def __call__(self, item_ids: jnp.ndarray) -> jnp.ndarray:
@@ -61,4 +70,6 @@ class CategoricalEmbeddingModule(nn.Module):
         remap = jnp.asarray(self.item_id_to_category_id)
         cat_ids = remap[jnp.maximum(item_ids - 1, 0)] + 1
         cat_ids = jnp.where(item_ids == 0, 0, cat_ids)
+        if self.scatter_grad_kernel:
+            return gather_rows(table, cat_ids)
         return table[cat_ids]

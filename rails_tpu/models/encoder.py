@@ -54,7 +54,9 @@ class SequentialRecommender(nn.Module):
         # default config are unaffected.
         if c.embedding_module_type == "local":
             self.item_emb = LocalEmbeddingModule(
-                num_items=self.num_items, item_embedding_dim=d, name="item_emb"
+                num_items=self.num_items, item_embedding_dim=d,
+                scatter_grad_kernel=c.train.pallas_scatter_grad,
+                name="item_emb",
             )
         elif c.embedding_module_type == "categorical":
             assert self.item_id_to_category_id is not None, (
@@ -66,6 +68,7 @@ class SequentialRecommender(nn.Module):
                 num_categories=c.num_item_categories,
                 item_embedding_dim=d,
                 item_id_to_category_id=self.item_id_to_category_id,
+                scatter_grad_kernel=c.train.pallas_scatter_grad,
                 name="item_emb",
             )
         else:
