@@ -232,7 +232,49 @@ def run(batch_size: int) -> dict:
     }
 
 
+def _require_live_backend(timeout_s: float = 300.0) -> None:
+    """Fail loudly instead of hanging when the TPU tunnel is half-open.
+
+    Backend init (`jax.devices()`) blocks indefinitely when the remote-TPU
+    relay accepts connections but never answers (observed in this
+    environment). Probe it on a daemon thread; if it doesn't come up in
+    `timeout_s`, emit an explicit error JSON line and exit — an honest
+    machine-readable failure beats a silent hang."""
+    import os
+    import threading
+
+    ok = threading.Event()
+
+    def probe():
+        import jax
+
+        jax.devices()
+        ok.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout=timeout_s)
+    if not ok.is_set():
+        print(
+            f"# device backend init did not complete in {timeout_s:.0f}s "
+            "(TPU tunnel unreachable/half-open)", flush=True,
+        )
+        print(
+            json.dumps({
+                "metric": "exact_mol_top120_serving_qps_ml20m_scale",
+                "value": 0.0,
+                "unit": "queries/sec/chip",
+                "vs_baseline": 0.0,
+                "error": "device backend init timed out "
+                         "(TPU tunnel unreachable); no measurement taken",
+            }),
+            flush=True,
+        )
+        os._exit(2)
+
+
 def main() -> None:
+    _require_live_backend()
     # The TPU is shared in this environment; fall back to smaller batches if
     # a run hits transient resource exhaustion.
     res = None
