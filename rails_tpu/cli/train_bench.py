@@ -86,6 +86,8 @@ def main(argv=None) -> None:
                    help="fused forward+backward HSTU block kernels")
     p.add_argument("--fused-mol-loss", action="store_true",
                    help="fused MoL negatives scoring (needs --shared-negatives)")
+    p.add_argument("--pallas-scatter", action="store_true",
+                   help="binned Pallas scatter-add for the item-table grad")
     args = p.parse_args(argv)
 
     import jax
@@ -108,6 +110,8 @@ def main(argv=None) -> None:
             shared_negatives=args.shared_negatives
             or cfg.train.shared_negatives,
             fused_mol_loss=args.fused_mol_loss or cfg.train.fused_mol_loss,
+            pallas_scatter_grad=args.pallas_scatter
+            or cfg.train.pallas_scatter_grad,
         ),
     )
     if args.fused_train:
