@@ -97,6 +97,50 @@ def test_gather_rows_grad_matches_plain():
     )
 
 
+def test_scatter_kernel_composes_with_fused_mol_loss():
+    """Both custom VJPs on one chain — the fused MoL loss kernel produces
+    the embedding cotangents, the scatter kernel turns them into the dense
+    table gradient. The scatter flag must not change loss or params."""
+    base = get_experiment_config("synthetic-small")
+    base = base.replace(
+        data=base.data.replace(synthetic_num_users=64,
+                               synthetic_num_items=120),
+        mol=base.mol.replace(
+            softmax_dropout_rate=0.0, gating_qi_dropout_rate=0.0,
+            query_dropout_rate=0.0, item_dropout_rate=0.0,
+            uid_dropout_rate=0.0,
+        ),
+        train=base.train.replace(
+            local_batch_size=8, num_negatives=8,
+            shared_negatives=True, fused_mol_loss=True,
+        ),
+    )
+    ds = get_reco_dataset(base.data)
+    batch = next(
+        ds.train_dataset.batches(
+            batch_size=8, max_output_length=base.train.gr_output_length + 1,
+            shuffle=False,
+        )
+    )
+    rng = jax.random.PRNGKey(0)
+    results = {}
+    for flag in (False, True):
+        cfg = base.replace(train=base.train.replace(pallas_scatter_grad=flag))
+        _, state, train_step, _ = create_train_state(
+            cfg, ds.max_item_id, ds.all_item_ids, batch
+        )
+        state2, metrics = train_step(state, batch, rng)
+        results[flag] = (float(metrics["loss"]), state2.params)
+    assert results[False][0] == pytest.approx(results[True][0], rel=1e-6)
+    flat_a = jax.tree_util.tree_leaves_with_path(results[False][1])
+    flat_b = jax.tree_util.tree_leaves(results[True][1])
+    for (path, a), b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-6, atol=2e-6,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
 def test_train_step_parity_with_scatter_kernel():
     """One full train step: identical loss and identical post-step params
     with `train.pallas_scatter_grad` on vs off."""
