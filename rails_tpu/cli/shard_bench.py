@@ -44,6 +44,10 @@ def main(argv=None) -> None:
                    help="assert IVF recall vs the exact oracle above this "
                    "(recall depends on model training quality — the bench "
                    "model is untrained, so the default only reports)")
+    p.add_argument("--train-steps", type=int, default=0,
+                   help="take N gradient steps on the synthetic data before "
+                   "building the corpus, so overlap/recall checks measure a "
+                   "TRAINED table distribution (int8 fidelity depends on it)")
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                    help="dotted config override (e.g. mol.dot_product_dimension=8)")
     p.add_argument(
@@ -101,10 +105,28 @@ def main(argv=None) -> None:
     # Model's item table covers the training vocab; the *serving corpus* is a
     # synthetic X-item component table (items beyond the vocab hash onto it),
     # which is what the sharded index actually stores.
-    model, state, _, _ = create_train_state(
+    model, state, train_step, _ = create_train_state(
         cfg, min(x, 100_000), np.arange(1, min(x, 100_000) + 1, dtype=np.int32),
         batch,
     )
+    if args.train_steps > 0:
+        # Trained tables have heavier-tailed per-item value distributions
+        # than a fresh init — the regime that stresses int8 scales.
+        rng = jax.random.PRNGKey(1)
+        step_i = 0
+        while step_i < args.train_steps:
+            for b in ds.batches(
+                batch_size=args.batch_size,
+                max_output_length=cfg.train.gr_output_length + 1,
+                shuffle=True, seed=step_i,
+            ):
+                rng, sub = jax.random.split(rng)
+                state, _ = train_step(state, b, sub)
+                step_i += 1
+                if step_i >= args.train_steps:
+                    break
+        jax.block_until_ready(state.params)
+        logging.info("pre-trained %d steps before corpus build", step_i)
     params = state.params
 
     # Build the big corpus directly at the component level: embed vocab items
