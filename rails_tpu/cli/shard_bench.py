@@ -44,6 +44,11 @@ def main(argv=None) -> None:
                    help="assert IVF recall vs the exact oracle above this "
                    "(recall depends on model training quality — the bench "
                    "model is untrained, so the default only reports)")
+    p.add_argument("--replicated", action="store_true",
+                   help="skip the shard_map wrapper: run the plain single-"
+                   "device algorithm on the unsharded state (requires "
+                   "item_parallel=1). A/B against the default sharded run "
+                   "bounds the distributed-merge overhead on one chip")
     p.add_argument("--train-steps", type=int, default=0,
                    help="take N gradient steps on the synthetic data before "
                    "building the corpus, so overlap/recall checks measure a "
@@ -233,11 +238,20 @@ def main(argv=None) -> None:
             ivf.overflow.shape[1], item_parallel, time.perf_counter() - tb,
         )
         state_tk = state_tk._replace(ivf=ivf)
-    sh_state = pad_and_shard_state(state_tk, mesh)
-    topk = make_sharded_top_k_fn(
-        args.method, model, replicate(params, mesh), sh_state, mesh, k=args.k,
-        avg_top_k=min(4000, x), k_per_group=50,
-    )
+    if args.replicated:
+        assert item_parallel == 1, "--replicated is a single-device A/B arm"
+        from rails_tpu.index.factory import get_top_k_fn
+
+        plain = get_top_k_fn(args.method, model, params, state_tk)
+
+        def topk(q_, user_ids=None):
+            return plain(q_, args.k, user_ids=user_ids)
+    else:
+        sh_state = pad_and_shard_state(state_tk, mesh)
+        topk = make_sharded_top_k_fn(
+            args.method, model, replicate(params, mesh), sh_state, mesh,
+            k=args.k, avg_top_k=min(4000, x), k_per_group=50,
+        )
     q = jax.jit(lambda p, f: model.apply(p, f, method=model.encode))(
         params, batch.features
     )
@@ -383,7 +397,10 @@ def main(argv=None) -> None:
     jax.block_until_ready(res)
     dt = (time.perf_counter() - t0) / args.runs
     print(json.dumps({
-        "metric": f"sharded_{args.method}_top{args.k}_qps",
+        "metric": (
+            f"{'replicated' if args.replicated else 'sharded'}"
+            f"_{args.method}_top{args.k}_qps"
+        ),
         "num_items": x,
         "item_parallel": item_parallel,
         "value": round(args.batch_size / dt, 2),
