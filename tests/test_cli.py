@@ -186,6 +186,22 @@ def test_shard_bench_cli_smoke(capsys):
     assert "qps" in out or "ms" in out
 
 
+def test_shard_bench_cli_replicated_and_train_steps(capsys):
+    """The --replicated single-device A/B arm and --train-steps pre-training
+    both run end-to-end; the replicated arm still passes the exactness check
+    (same algorithm, no shard_map wrapper)."""
+    from rails_tpu.cli.shard_bench import main
+
+    main([
+        "--config", "synthetic-small", "--num-items", "512",
+        "--batch-size", "8", "--k", "16", "--runs", "1",
+        "--item-parallel", "1", "--replicated", "--train-steps", "2",
+        "--check-against-chunked",
+    ])
+    out = capsys.readouterr().out
+    assert "replicated_" in out
+
+
 def test_eval_cli_sort_by_length_matches_unsorted(capsys):
     """--sort-by-length (length-bucketed truncated serving) must produce
     identical metrics: ordering and padding length never change scores."""
