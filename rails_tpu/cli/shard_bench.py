@@ -169,6 +169,11 @@ def main(argv=None) -> None:
             state_tk = build_fused_state_chunked_on_device(
                 model, params, ids, embed_chunk_fn=embed_fn,
                 table_dtype=jnp.bfloat16,
+                # int8: quantize per chunk IN the build (per-item scales
+                # make it equivalent to post-hoc quantization) so the bf16
+                # tables never exist in HBM — corpora up to ~2x the bf16
+                # ceiling build on one chip.
+                quantize="Int8" in args.method,
             )
         else:
             # Chunked streaming build: only (chunk, D) temporaries on

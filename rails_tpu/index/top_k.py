@@ -278,6 +278,7 @@ def build_fused_state_chunked_on_device(
     chunk_size: int = 262_144,
     table_dtype: jnp.dtype = jnp.bfloat16,
     fused_block_x: int = 256,
+    quantize: bool = False,
 ) -> MoLTopKState:
     """Device-resident chunked corpus build: no host round trips.
 
@@ -288,6 +289,13 @@ def build_fused_state_chunked_on_device(
     in HBM via donated `dynamic_update_slice` — peak device memory is the
     final tables + one chunk, and the tunnel only ever carries item ids.
     Use when the bf16 tables fit a single chip's HBM.
+
+    `quantize=True` quantizes each chunk to int8 IN the build (the
+    `quantize_fused_tables` scales are per-item, so per-chunk quantization
+    of the bf16-cast chunk equals quantizing the assembled bf16 tables, up
+    to ~1-ULP divide-rewrite drift between the two compiled programs) —
+    the full-precision tables never exist in HBM, so the int8 corpus
+    ceiling (~2x the bf16 one) is reachable on one chip.
     """
     import functools as _ft
 
@@ -308,28 +316,53 @@ def build_fused_state_chunked_on_device(
 
     perm = m_major_perm(l // p_x, p_x)
 
-    @_ft.partial(jax.jit, donate_argnums=(1, 2, 3))
-    def _insert(params, comp_buf, gp_buf, avg_buf, emb, start):
+    @_ft.partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5))
+    def _insert(params, comp_buf, gp_buf, avg_buf, cs_buf, ps_buf,
+                emb, start):
         t = model.apply(params, emb, method=model.build_item_tables)
         comp_t = jnp.transpose(
             t.component_embeddings.astype(table_dtype), (1, 2, 0)
         )
         gp_t = t.gating_partial.astype(table_dtype).T[perm]
         avg = t.component_embeddings.mean(axis=1).astype(table_dtype)
+        if quantize:
+            # Same math as quantize_fused_tables on the assembled bf16
+            # tables: scales are per-item, so chunking the X axis changes
+            # no bits.
+            comp32 = comp_t.astype(jnp.float32)
+            cs = jnp.maximum(jnp.max(jnp.abs(comp32), axis=1), 1e-12) / 127.0
+            comp_t = jnp.clip(
+                jnp.round(comp32 / cs[:, None, :]), -127, 127
+            ).astype(jnp.int8)
+            gp32 = gp_t.astype(jnp.float32)
+            ps = jnp.maximum(
+                jnp.max(jnp.abs(gp32), axis=0, keepdims=True), 1e-12
+            ) / 127.0
+            gp_t = jnp.clip(jnp.round(gp32 / ps), -127, 127).astype(jnp.int8)
+            cs_buf = jax.lax.dynamic_update_slice(cs_buf, cs, (0, start))
+            ps_buf = jax.lax.dynamic_update_slice(ps_buf, ps, (0, start))
         return (
             jax.lax.dynamic_update_slice(comp_buf, comp_t, (0, 0, start)),
             jax.lax.dynamic_update_slice(gp_buf, gp_t, (0, start)),
             jax.lax.dynamic_update_slice(avg_buf, avg, (start, 0)),
+            cs_buf,
+            ps_buf,
         )
 
-    comp_buf = jnp.zeros((p_x, d_p, xp), table_dtype)
-    gp_buf = jnp.zeros((l, xp), table_dtype)
+    tbl_dtype = jnp.int8 if quantize else table_dtype
+    comp_buf = jnp.zeros((p_x, d_p, xp), tbl_dtype)
+    gp_buf = jnp.zeros((l, xp), tbl_dtype)
     avg_buf = jnp.zeros((xp, d_p), table_dtype)
+    # Pad columns keep the all-zeros-table scale (1e-12/127), matching
+    # quantize_fused_tables on padded assembled tables exactly.
+    cs_buf = jnp.full((p_x, xp), 1e-12 / 127.0, jnp.float32)
+    ps_buf = jnp.full((1, xp), 1e-12 / 127.0, jnp.float32)
     for start in range(0, x, chunk_size):
         end = min(start + chunk_size, x)
         emb = embed_chunk_fn(start, item_ids[start:end])
-        comp_buf, gp_buf, avg_buf = _insert(
-            params, comp_buf, gp_buf, avg_buf, emb, jnp.int32(start)
+        comp_buf, gp_buf, avg_buf, cs_buf, ps_buf = _insert(
+            params, comp_buf, gp_buf, avg_buf, cs_buf, ps_buf,
+            emb, jnp.int32(start)
         )
 
     ids = jnp.zeros((xp,), jnp.int32).at[:x].set(item_ids.astype(jnp.int32))
@@ -344,6 +377,8 @@ def build_fused_state_chunked_on_device(
             item_comp_t=comp_buf,
             item_partial_t=gp_buf,
             num_items=x,
+            comp_scale=cs_buf if quantize else None,
+            partial_scale=ps_buf if quantize else None,
         ),
     )
 

@@ -582,6 +582,51 @@ class TestChunkedFusedBuilder:
             )
 
 
+    def test_on_device_builder_in_build_int8_matches_post_hoc(self, trained):
+        """quantize=True quantizes per chunk inside the build; scales are
+        per-item, so the result is equivalent to assembling bf16 tables and
+        quantizing after (the path 16M+ corpora cannot take — the bf16
+        tables would not fit HBM). "Equivalent" up to XLA's
+        divide-by-constant rewrites differing between the two programs:
+        scales agree to ~1 ULP and int8 codes by at most one step at exact
+        rounding boundaries."""
+        from rails_tpu.index.top_k import build_fused_state_chunked_on_device
+        from rails_tpu.ops.pallas.mol_scoring import quantize_fused_tables
+
+        cfg, ds, model, params, batches = trained
+        ids = jnp.asarray(ds.all_item_ids, dtype=jnp.int32)
+        embed_fn = lambda s, cids: model.apply(  # noqa: E731
+            params, cids, method=model.get_item_embeddings
+        )
+        kw = dict(chunk_size=77, table_dtype=jnp.bfloat16, fused_block_x=64)
+        post = quantize_fused_tables(
+            build_fused_state_chunked_on_device(
+                model, params, ids, embed_fn, **kw
+            ).fused_tables
+        )
+        inb = build_fused_state_chunked_on_device(
+            model, params, ids, embed_fn, quantize=True, **kw
+        ).fused_tables
+        for a, b in (
+            (post.comp_scale, inb.comp_scale),
+            (post.partial_scale, inb.partial_scale),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=0
+            )
+        for a, b in (
+            (post.item_comp_t, inb.item_comp_t),
+            (post.item_partial_t, inb.item_partial_t),
+        ):
+            d = np.abs(
+                np.asarray(a, np.int32) - np.asarray(b, np.int32)
+            )
+            assert d.max() <= 1, d.max()
+            # Boundary flips are rare — a systematic offset would light
+            # this up.
+            assert d.mean() < 1e-2, d.mean()
+
+
 class TestChunkedTopK:
     def test_matches_lax_top_k_with_ties(self):
         from rails_tpu.index.top_k import chunked_top_k
