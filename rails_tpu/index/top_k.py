@@ -122,7 +122,8 @@ def build_mol_topk_state(
     `table_dtype=bfloat16` matches the reference's bf16 component table
     (`mol_top_k.py:61-73`); the rerank itself runs through the model dtype.
     `quantize_fused` stores the FUSED tables int8 with per-item scales
-    (half the HBM table read; scores approximate at int8 precision).
+    (half the table bytes, ~2x corpus per chip; scores approximate at
+    int8 precision).
     """
     from rails_tpu.ops.pallas.mol_scoring import (
         FusedCorpusTables,

@@ -81,8 +81,9 @@ def _kernel(
     #
     # int8 tables: the block dequantizes to the matmul dtype in VMEM and the
     # per-(component, item) scale folds in AFTER the matmul (mathematically
-    # identical to scaling the table; HBM reads halve, which is the whole
-    # point in the bandwidth-bound huge-corpus regime).
+    # identical to scaling the table; table bytes halve, which doubles the
+    # corpus a chip can hold — measured throughput-neutral at B=32, where
+    # the step is VPU/select-bound, not table-read-bound: docs/STATUS.md).
     q_flat = q_ref[:].reshape(p_q * b, d_p)
     for m in range(p_x):
         im = item_ref[m]                       # (d_P, TX)
@@ -182,8 +183,9 @@ class FusedCorpusTables(NamedTuple):
     the tables travel through jit as runtime arguments.
 
     int8 tables (`quantize_fused_tables`) carry per-(component, item) /
-    per-item symmetric scales; the kernel dequantizes in VMEM, halving the
-    HBM table traffic that dominates huge-corpus exact scoring."""
+    per-item symmetric scales; the kernel dequantizes in VMEM. Table bytes
+    halve, doubling corpus-per-chip (throughput measured neutral at B=32 —
+    the step is VPU/select-bound there; docs/STATUS.md)."""
 
     item_comp_t: jnp.ndarray      # (P_X, d_P, X_padded) bf16/f32 or int8
     item_partial_t: jnp.ndarray   # (L, X_padded)        bf16/f32 or int8
@@ -292,7 +294,7 @@ def fused_mol_scores_t(
     batches stay within the ~16 MB VMEM budget.
 
     int8 tables (with `comp_scale`/`partial_scale` from
-    `quantize_fused_tables`) dequantize in VMEM — half the HBM table read.
+    `quantize_fused_tables`) dequantize in VMEM — half the table bytes.
 
     `interpret=None` auto-selects interpreter mode on CPU (tests / virtual
     meshes run the same code path; the 'axon'-tunneled TPU compiles)."""
