@@ -120,6 +120,7 @@ def main(argv=None) -> None:
         rng = jax.random.PRNGKey(1)
         step_i = 0
         while step_i < args.train_steps:
+            before = step_i
             for b in ds.batches(
                 batch_size=args.batch_size,
                 max_output_length=cfg.train.gr_output_length + 1,
@@ -130,6 +131,11 @@ def main(argv=None) -> None:
                 step_i += 1
                 if step_i >= args.train_steps:
                     break
+            if step_i == before:
+                raise RuntimeError(
+                    "--train-steps: the dataset yielded zero batches "
+                    "(empty synthetic config?) — cannot make progress"
+                )
         jax.block_until_ready(state.params)
         logging.info("pre-trained %d steps before corpus build", step_i)
     params = state.params
@@ -243,8 +249,11 @@ def main(argv=None) -> None:
             ivf.overflow.shape[1], item_parallel, time.perf_counter() - tb,
         )
         state_tk = state_tk._replace(ivf=ivf)
+    if args.replicated and item_parallel != 1:
+        # Not an assert: `python -O` strips those, and proceeding would hand
+        # host-staged numpy tables to the plain top-k fn with an obscure error.
+        p.error("--replicated is a single-device A/B arm (use --item-parallel 1)")
     if args.replicated:
-        assert item_parallel == 1, "--replicated is a single-device A/B arm"
         from rails_tpu.index.factory import get_top_k_fn
 
         plain = get_top_k_fn(args.method, model, params, state_tk)
@@ -402,10 +411,10 @@ def main(argv=None) -> None:
     jax.block_until_ready(res)
     dt = (time.perf_counter() - t0) / args.runs
     print(json.dumps({
-        "metric": (
-            f"{'replicated' if args.replicated else 'sharded'}"
-            f"_{args.method}_top{args.k}_qps"
-        ),
+        # Metric key is stable across modes (downstream parsers grep the
+        # `sharded_` prefix); the A/B arm is distinguished by `mode`.
+        "metric": f"sharded_{args.method}_top{args.k}_qps",
+        "mode": "replicated" if args.replicated else "sharded",
         "num_items": x,
         "item_parallel": item_parallel,
         "value": round(args.batch_size / dt, 2),
