@@ -106,6 +106,22 @@ def get_top_k_raw(top_k_method: str):
             )
         return raw
 
+    # Upper-bound prefilter + exact rerank with per-query certificates
+    # (`tk.mol_certified_top_k`). The raw fn returns the TopKResult alone
+    # (the uniform factory contract); callers wanting the certificate call
+    # mol_certified_top_k directly. Int8 states work unchanged (the UB
+    # kernel dequantizes in VMEM).
+    m = re.fullmatch(r"MoLCertTopK(\d+)(?:Int8)?", top_k_method)
+    if m:
+        cand_budget = int(m.group(1))
+        def raw(model, params, state, q, k, user_ids=None, item_embeddings=None):
+            res, _ = tk.mol_certified_top_k(
+                model, params, state, q, k,
+                cand_budget=cand_budget, user_ids=user_ids,
+            )
+            return res
+        return raw
+
     raise ValueError(f"Unknown top_k_method {top_k_method!r}")
 
 
@@ -124,6 +140,9 @@ def parse_top_k_budgets(top_k_method: str) -> dict:
     m = re.fullmatch(r"MoLIVFTopK(\d+)", top_k_method)
     if m:
         return {"nprobe": int(m.group(1))}
+    m = re.fullmatch(r"MoLCertTopK(\d+)(?:Int8)?", top_k_method)
+    if m:
+        return {"cand_budget": int(m.group(1))}
     return {}
 
 

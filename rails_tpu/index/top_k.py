@@ -354,10 +354,18 @@ def build_fused_state_chunked_on_device(
     comp_buf = jnp.zeros((p_x, d_p, xp), tbl_dtype)
     gp_buf = jnp.zeros((l, xp), tbl_dtype)
     avg_buf = jnp.zeros((xp, d_p), table_dtype)
-    # Pad columns keep the all-zeros-table scale (1e-12/127), matching
-    # quantize_fused_tables on padded assembled tables exactly.
-    cs_buf = jnp.full((p_x, xp), 1e-12 / 127.0, jnp.float32)
-    ps_buf = jnp.full((1, xp), 1e-12 / 127.0, jnp.float32)
+    if quantize:
+        # Pad columns keep the all-zeros-table scale (1e-12/127), matching
+        # quantize_fused_tables on padded assembled tables exactly.
+        cs_buf = jnp.full((p_x, xp), 1e-12 / 127.0, jnp.float32)
+        ps_buf = jnp.full((1, xp), 1e-12 / 127.0, jnp.float32)
+    else:
+        # 1x1 placeholders: full-size f32 scale buffers would pin ~5 MB/M
+        # items of dead HBM in a builder whose job is squeezing the per-chip
+        # corpus ceiling (they are donated args, so they'd live through
+        # every _insert call).
+        cs_buf = jnp.zeros((1, 1), jnp.float32)
+        ps_buf = jnp.zeros((1, 1), jnp.float32)
     for start in range(0, x, chunk_size):
         end = min(start + chunk_size, x)
         emb = embed_chunk_fn(start, item_ids[start:end])
@@ -389,6 +397,63 @@ def build_fused_state_chunked_on_device(
 # --------------------------------------------------------------------- #
 
 
+def hierarchical_top_k(
+    scores: jnp.ndarray,                      # (B, X)
+    k: int,
+    tile: int = 256,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k at multi-million-row lengths via a tile-max hierarchy.
+
+    `lax.top_k` over a (B, X) row at X=8M costs ~165 ms on a v5e (B=32,
+    k=200) — about half the exact-serving step — because XLA's top-k is a
+    sort-scale reduction over the full row. This replaces it with three
+    tiny selects:
+
+      1. tile maxima: reshape to (B, X/tile, tile), max over the tile axis
+         (one streaming pass over the scores);
+      2. select the top-k TILES by their maxima (top-k over X/tile cols);
+      3. gather those k tiles' scores (k*tile cols) and top-k over them,
+         mapping positions back to corpus columns.
+
+    EXACTNESS: let t = k-th largest score. Every tile whose max >= t
+    contains an item scoring >= t, and only k items score >= t, so at most
+    k tiles have max >= t — hence every item scoring >= t lives inside the
+    top-k tiles by max, and step 3 sees all of them. (With score ties the
+    returned SCORE multiset is still exact — the k tile maxima themselves
+    are in the gathered pool and dominate every non-gathered item — but a
+    tie at the k-th value may resolve to a different corpus index than
+    plain `lax.top_k`'s lowest-index rule when the tied twin sits in a
+    non-selected tile.)
+
+    Measured (v5e, B=32, X=8M, k=200, in-jit same-window): see
+    docs/STATUS.md round-4 select table. The extra tile-max pass re-reads
+    the (B, X) scores once (~1 GB at 8M/B=32 — ~2 ms at HBM bandwidth),
+    which is noise next to the sort it removes.
+    """
+    b, x = scores.shape
+    kk = min(k, x)
+    nt = -(-x // tile)
+    if nt <= kk or x <= 2 * k:
+        # Fewer tiles than k: the hierarchy would gather everything anyway.
+        # Plain top_k directly (NOT chunked_top_k — at x > _CHUNK_MAX_X that
+        # would dispatch straight back here).
+        return jax.lax.top_k(scores, kk)
+    pad = nt * tile - x
+    if pad:
+        scores = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=NEG_PAD)
+    tiles = scores.reshape(b, nt, tile)
+    tile_max = tiles.max(axis=2)                           # (B, nt)
+    _, tidx = chunked_top_k(tile_max, kk)                  # (B, kk) tile ids
+    gathered = jnp.take_along_axis(
+        tiles, tidx[:, :, None], axis=1
+    ).reshape(b, kk * tile)
+    v, pos = chunked_top_k(gathered, kk)
+    col = (
+        jnp.take_along_axis(tidx, pos // tile, axis=1) * tile + pos % tile
+    )
+    return v, col
+
+
 def chunked_top_k(
     scores: jnp.ndarray,                      # (B, X)
     k: int,
@@ -404,12 +469,17 @@ def chunked_top_k(
     resolve to the lowest corpus index. Columns pad with -inf when C
     doesn't divide X; k > X/C simply lowers the per-chunk take.
 
-    At multi-million-row lengths the trade inverts (B=32, X=8M: plain
-    165 ms vs chunked 346 ms in-jit same-window), so beyond _CHUNK_MAX_X
-    this falls back to plain `lax.top_k`.
+    At multi-million-row lengths the chunk-then-merge trade inverts (B=32,
+    X=8M: plain 165 ms vs chunked 346 ms in-jit same-window); beyond
+    _CHUNK_MAX_X this dispatches to `hierarchical_top_k`, which replaces
+    the full-row sort with a tile-max hierarchy (exact score multiset; tie
+    INDICES may differ from plain top_k's lowest-index rule — see its
+    docstring).
     """
     b, x = scores.shape
-    if x <= 2 * k or x < 2 * target_chunks or x > _CHUNK_MAX_X:
+    if x > _CHUNK_MAX_X:
+        return hierarchical_top_k(scores, k)
+    if x <= 2 * k or x < 2 * target_chunks:
         return jax.lax.top_k(scores, min(k, x))
     c = min(target_chunks, x // k if x // k > 1 else 2)
     per = -(-x // c)                           # ceil
@@ -523,6 +593,103 @@ def mol_brute_force_top_k_fused_approx(
             scores, k, recall_target=recall_target
         )
     return TopKResult(scores=top_scores, ids=state.item_ids[top_idx])
+
+
+class TopKCertificate(NamedTuple):
+    """Per-query error bound for an approximate retrieval pass.
+
+    `ub_unexamined` upper-bounds the exact MoL score of EVERY item the
+    algorithm did not exact-score (soundness argument in the respective
+    algorithm's docstring). If `ub_unexamined <= kth_score` the returned
+    top-k is provably the exact top-k (`certified`); otherwise `gap_bound`
+    bounds how far the true k-th score can sit above the returned k-th —
+    i.e. a per-query certificate for the rank-k score gap.
+
+    Arithmetic caveat: bounds are computed in the serving table dtype
+    (bf16 tables -> bf16-input/f32-accumulate matmuls); the prefilter and
+    rerank paths contract in different orders, so certificates are sound up
+    to that rounding (~1e-3 relative at bf16). `margin` in the producing
+    call shifts the test conservatively."""
+
+    certified: jnp.ndarray       # (B,) bool
+    ub_unexamined: jnp.ndarray   # (B,) max possible score of unexamined items
+    kth_score: jnp.ndarray       # (B,) returned k-th (lowest) score
+    gap_bound: jnp.ndarray       # (B,) max(0, ub_unexamined - kth_score)
+
+
+def _certificate(
+    ub_unexamined: jnp.ndarray, kth: jnp.ndarray, margin: float
+) -> TopKCertificate:
+    return TopKCertificate(
+        certified=ub_unexamined + margin <= kth,
+        ub_unexamined=ub_unexamined,
+        kth_score=kth,
+        gap_bound=jnp.maximum(0.0, ub_unexamined - kth),
+    )
+
+
+def mol_certified_top_k(
+    model, params, state: MoLTopKState,
+    query_embeddings: jnp.ndarray,            # (B, D)
+    k: int,
+    cand_budget: int,
+    user_ids: Optional[jnp.ndarray] = None,
+    block_x: int = 512,
+    margin: float = 0.0,
+    cand_chunk: Optional[int] = 8192,
+) -> Tuple[TopKResult, TopKCertificate]:
+    """Upper-bound prefilter + exact rerank with a per-query certificate.
+
+    The MoL score is a softmax mixture of component logits, so
+    score(q, x) <= max_l <q_n, x_m>/T =: UB(q, x) — computable with the
+    component matmuls alone (`ops/pallas/mol_scoring.fused_mol_ub_t`, MXU
+    work only, none of the gating chain's VPU/transcendental cost). The
+    algorithm exact-scores the top-`cand_budget` items by UB and returns
+    their top-k; every unexamined item's score is bounded by the
+    (cand_budget+1)-th largest UB, giving the certificate: when that bound
+    is <= the returned k-th score, the result is PROVABLY the exact top-k.
+
+    This is the TPU-native replacement for scoring all X items when the
+    gating chain (not the select) is the bottleneck: the reference has no
+    counterpart (`mol_top_k.py` is bound-free); the north star names it
+    (BASELINE.json: "top-k union followed by exact MoL rerank with error
+    bounds")."""
+    from rails_tpu.ops.pallas.mol_scoring import fused_mol_ub_t
+
+    ft = state.fused_tables
+    assert ft is not None, (
+        "mol_certified_top_k reads the fused kernel-layout tables "
+        "(build_mol_topk_state(..., build_fused=True))"
+    )
+    q_comp = model.apply(
+        params, query_embeddings, user_ids, method=model.query_components
+    )
+    q_dtype = (
+        jnp.bfloat16 if ft.item_comp_t.dtype == jnp.int8
+        else ft.item_comp_t.dtype
+    )
+    ub = fused_mol_ub_t(
+        q_comp.astype(q_dtype), ft.item_comp_t,
+        float(model.cfg.mol.temperature), block_x=block_x,
+        comp_scale=ft.comp_scale,
+    )[:, : ft.num_items]
+    ub = _mask_pad_rows(ub, state.item_ids[: ub.shape[1]])
+    b, x = ub.shape
+    c = min(cand_budget, x)
+    if c >= x:
+        # Full coverage: nothing unexamined.
+        cand = jnp.broadcast_to(jnp.arange(x, dtype=jnp.int32), (b, x))
+        spill = jnp.full((b,), NEG_PAD, jnp.float32)
+    else:
+        ub_top, cand = chunked_top_k(ub, c + 1)
+        spill = ub_top[:, c]           # largest UB among unexamined items
+        cand = cand[:, :c]
+    res = dedup_rerank_top_k(
+        model, params, state, query_embeddings, cand, k, user_ids,
+        cand_chunk=cand_chunk,
+    )
+    kth = res.scores[:, -1]
+    return res, _certificate(spill, kth, margin)
 
 
 def mips_brute_force_top_k(
@@ -698,7 +865,8 @@ def _naive_candidates(
     k_per_group: int,
     user_ids: Optional[jnp.ndarray],
     corpus_chunk: int = _NAIVE_CORPUS_CHUNK,
-) -> jnp.ndarray:
+    return_bound: bool = False,
+):
     """Per-(query-group, item-group) dot-product top-k_per_group union.
 
     Reference: `MoLNaiveTopK.forward` non-FAISS branch (`mol_top_k.py:241-257`)
@@ -711,6 +879,11 @@ def _naive_candidates(
 
     Returns (B, P_Q * P_X * k_per_group) corpus positions. The per-group
     budget is clamped to the corpus size.
+
+    `return_bound=True` additionally returns a (B,) upper bound on the MoL
+    score of any item OUTSIDE the union: an unseen item sits below every
+    group's k_per_group-th prefilter value t_l, so its logits_l <= t_l/T
+    for all l, and (softmax mixture) score <= max_l t_l / T.
     """
     q_comp = model.apply(
         params, query_embeddings, user_ids, method=model.query_components
@@ -727,7 +900,17 @@ def _naive_candidates(
     q_comp = q_comp.astype(table_dtype)
     b, p_q, _ = q_comp.shape
     x = state.item_ids.shape[0]
+    full_cover = k_per_group >= x
     k_per_group = min(k_per_group, x)
+    inv_t = 1.0 / float(model.cfg.mol.temperature)
+
+    def _maybe(cands, thresholds):
+        if not return_bound:
+            return cands
+        if full_cover:
+            # Every item is in every group list: nothing is unexamined.
+            return cands, jnp.full((b,), NEG_PAD, jnp.float32)
+        return cands, jnp.max(thresholds, axis=1) * inv_t
 
     if x <= corpus_chunk:
         if has_std:
@@ -738,15 +921,19 @@ def _naive_candidates(
             if ft.comp_scale is not None:
                 comp = comp.astype(jnp.float32) * ft.comp_scale.T[:x, :, None]
         outs = []
+        ts = []
         for n in range(p_q):
             sims = jnp.einsum(
                 "bd,xmd->bmx", q_comp[:, n], comp,
                 preferred_element_type=jnp.float32,
             )                                  # (B, P_X, X)
             sims = _mask_pad_rows(sims, state.item_ids)
-            _, idx = jax.lax.top_k(sims, k_per_group)
+            v, idx = jax.lax.top_k(sims, k_per_group)
             outs.append(idx.reshape(b, -1))
-        return jnp.concatenate(outs, axis=1)
+            ts.append(v[:, :, -1])             # per-group k-th value (B, P_X)
+        return _maybe(
+            jnp.concatenate(outs, axis=1), jnp.concatenate(ts, axis=1)
+        )
 
     # Streamed path: scan corpus chunks with the FINAL chunk's start clamped
     # back so it stays in bounds (same copy-free tail handling as
@@ -763,6 +950,7 @@ def _naive_candidates(
     starts = jnp.minimum(nominal, x - corpus_chunk)
 
     outs = []
+    ts = []
     for n in range(p_q):
         q_n = q_comp[:, n]
 
@@ -786,10 +974,11 @@ def _naive_candidates(
         _, (vs, is_) = jax.lax.scan(body, None, (starts, nominal))
         v_all = jnp.moveaxis(vs, 0, 2).reshape(b, vs.shape[2], num_chunks * kk)
         i_all = jnp.moveaxis(is_, 0, 2).reshape(b, vs.shape[2], num_chunks * kk)
-        _, pos = jax.lax.top_k(v_all, k_per_group)
+        vv, pos = jax.lax.top_k(v_all, k_per_group)
         idx = jnp.take_along_axis(i_all, pos, axis=2)
         outs.append(idx.reshape(b, -1))
-    return jnp.concatenate(outs, axis=1)
+        ts.append(vv[:, :, -1])                # merged per-group k-th value
+    return _maybe(jnp.concatenate(outs, axis=1), jnp.concatenate(ts, axis=1))
 
 
 def mol_naive_top_k(
@@ -799,14 +988,24 @@ def mol_naive_top_k(
     k_per_group: int,
     user_ids: Optional[jnp.ndarray] = None,
     corpus_chunk: int = _NAIVE_CORPUS_CHUNK,
-) -> TopKResult:
-    cands = _naive_candidates(
+    certified: bool = False,
+    margin: float = 0.0,
+):
+    """`certified=True` additionally returns a `TopKCertificate`: every
+    non-candidate item's MoL score is bounded by max_l t_l / T where t_l is
+    group l's k_per_group-th prefilter value (see `_naive_candidates`), so
+    `ub_unexamined <= kth_score` proves the result exact."""
+    out = _naive_candidates(
         model, params, state, query_embeddings, k_per_group, user_ids,
-        corpus_chunk=corpus_chunk,
+        corpus_chunk=corpus_chunk, return_bound=certified,
     )
-    return _dedup_rerank_top_k(
+    cands, bound = out if certified else (out, None)
+    res = _dedup_rerank_top_k(
         model, params, state, query_embeddings, cands, k, user_ids
     )
+    if not certified:
+        return res
+    return res, _certificate(bound, res.scores[:, -1], margin)
 
 
 def mol_avg_top_k(
@@ -859,15 +1058,22 @@ def mol_comb_top_k(
     k_per_group: int,
     user_ids: Optional[jnp.ndarray] = None,
     corpus_chunk: int = _NAIVE_CORPUS_CHUNK,
-) -> TopKResult:
+    certified: bool = False,
+    margin: float = 0.0,
+):
     """Union of Naive per-group and Avg candidates, one rerank
     (`MoLCombTopK.forward`, `mol_top_k.py:467-551`). Budgets clamp to the
-    corpus size. Works against standard and `fused_only` states."""
+    corpus size. Works against standard and `fused_only` states.
+
+    `certified=True` returns (result, `TopKCertificate`): the Naive bound
+    (max_l t_l / T over the per-group thresholds) still dominates every
+    item outside the union — the Avg candidates only ADD coverage."""
     avg_top_k = min(avg_top_k, state.item_ids.shape[0])
-    naive = _naive_candidates(
+    out = _naive_candidates(
         model, params, state, query_embeddings, k_per_group, user_ids,
-        corpus_chunk=corpus_chunk,
+        corpus_chunk=corpus_chunk, return_bound=certified,
     )
+    naive, bound = out if certified else (out, None)
     q_comp = model.apply(
         params, query_embeddings, user_ids, method=model.query_components
     )
@@ -879,6 +1085,9 @@ def mol_comb_top_k(
     avg_scores = _mask_pad_rows(avg_scores, state.item_ids)
     _, avg_cand = jax.lax.top_k(avg_scores, avg_top_k)
     cands = jnp.concatenate([naive, avg_cand], axis=1)
-    return _dedup_rerank_top_k(
+    res = _dedup_rerank_top_k(
         model, params, state, query_embeddings, cands, k, user_ids
     )
+    if not certified:
+        return res
+    return res, _certificate(bound, res.scores[:, -1], margin)

@@ -139,6 +139,123 @@ def _kernel(
     out_ref[:] = s1 / s0
 
 
+def _ub_kernel(
+    q_ref,        # (P_Q, B, d_P)
+    item_ref,     # (P_X, d_P, TX)
+    *refs,        # [comp_scale (P_X, TX)]? out
+    p_q: int,
+    p_x: int,
+    inv_temperature: float,
+    mlp_dtype,
+    quantized: bool = False,
+):
+    """max_l <q_n, x_m>/T per (query, item) — a sound upper bound on the MoL
+    score: the mixture weights are a softmax (positive, sum 1), so
+    score = sum_l w_l * logits_l <= max_l logits_l. No gating MLP, no
+    transcendentals — MXU matmuls + a max reduce, so the bound pass runs at
+    a fraction of the full scoring kernel's (VPU-bound) cost."""
+    if quantized:
+        cs_ref, out_ref = refs
+    else:
+        (out_ref,) = refs
+        cs_ref = None
+    b = q_ref.shape[1]
+    d_p = q_ref.shape[2]
+    tx = item_ref.shape[2]
+    q_flat = q_ref[:].reshape(p_q * b, d_p)
+    ub = None
+    for m in range(p_x):
+        im = item_ref[m]
+        if quantized:
+            im = im.astype(mlp_dtype)
+        raw = jnp.dot(q_flat, im, preferred_element_type=jnp.float32)
+        if quantized:
+            raw = raw * cs_ref[m][None, :].astype(jnp.float32)
+        g = jnp.max(raw.reshape(p_q, b, tx), axis=0)    # (B, TX)
+        ub = g if ub is None else jnp.maximum(ub, g)
+    out_ref[:] = ub * inv_temperature
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("temperature", "block_x", "block_b", "interpret"),
+)
+def fused_mol_ub_t(
+    q_comp: jnp.ndarray,          # (B, P_Q, d_P)
+    item_comp_t: jnp.ndarray,     # (P_X, d_P, X) — kernel layout, X padded
+    temperature: float,
+    block_x: int = 512,
+    block_b: int = 32,
+    interpret: Optional[bool] = None,
+    comp_scale: Optional[jnp.ndarray] = None,      # (P_X, X), int8 tables
+) -> jnp.ndarray:
+    """(B, X) upper bounds max_l <q_n, x_m>/T against kernel-layout tables.
+
+    Requires temperature > 0 (all shipped configs; a negative T would flip
+    the max/min duality). Shares the fused scorer's table layout, so a
+    serving state built for `fused_mol_scores_t` feeds this directly."""
+    assert temperature > 0, "UB requires a positive MoL temperature"
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, p_q, d_p = q_comp.shape
+    p_x, _, x = item_comp_t.shape
+    quantized = item_comp_t.dtype == jnp.int8
+    if quantized:
+        assert comp_scale is not None, "int8 tables need comp_scale"
+    mlp_dtype = (
+        jnp.bfloat16
+        if item_comp_t.dtype in (jnp.bfloat16, jnp.int8)
+        else jnp.float32
+    )
+    assert x % block_x == 0, f"X={x} not a multiple of block_x={block_x}"
+    block_b = min(block_b, b)
+    pad_b = (-b) % block_b
+    qT = jnp.transpose(q_comp, (1, 0, 2))
+    if pad_b:
+        qT = jnp.pad(qT, ((0, 0), (0, pad_b), (0, 0)))
+    bp = b + pad_b
+    grid = (bp // block_b, x // block_x)
+    kernel = functools.partial(
+        _ub_kernel, p_q=p_q, p_x=p_x, inv_temperature=1.0 / temperature,
+        mlp_dtype=mlp_dtype, quantized=quantized,
+    )
+    in_specs = [
+        pl.BlockSpec((p_q, block_b, d_p), lambda j, i: (0, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((p_x, d_p, block_x), lambda j, i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [qT, item_comp_t]
+    if quantized:
+        in_specs.append(
+            pl.BlockSpec((p_x, block_x), lambda j, i: (0, i),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(comp_scale)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_b, block_x), lambda j, i: (j, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, x), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * x * p_q * p_x * d_p,
+            bytes_accessed=(
+                item_comp_t.size * item_comp_t.dtype.itemsize
+                * (bp // block_b)
+                + b * x * 4
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out[:b]
+
+
 def m_major_perm(p_q: int, p_x: int):
     """Permutation from the model's n-major logit order (l = n*P_X + m,
     `similarity_fn.py:389-402`) to the kernel's m-major order

@@ -101,7 +101,11 @@ def get_eval_state(
     else:
         state = build_mol_topk_state(
             model, params, ids, item_emb, table_dtype=table_dtype,
-            build_fused="Fused" in top_k_method,
+            # The certified UB prefilter reads the fused kernel layout too.
+            build_fused=(
+                "Fused" in top_k_method
+                or top_k_method.startswith("MoLCertTopK")
+            ),
             quantize_fused="Int8" in top_k_method,
         )
     if re.fullmatch(r"MoLIVFTopK\d+", top_k_method):

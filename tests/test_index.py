@@ -651,3 +651,85 @@ class TestChunkedTopK:
         vg, ig = chunked_top_k(s, 30)
         np.testing.assert_array_equal(np.asarray(vg), np.asarray(ve))
         np.testing.assert_array_equal(np.asarray(ig), np.asarray(ie))
+
+
+class TestHierarchicalTopK:
+    def test_matches_lax_top_k_random(self):
+        from rails_tpu.index.top_k import hierarchical_top_k
+
+        rng = np.random.default_rng(11)
+        # Distinct scores: ids must match plain top_k exactly.
+        s = jnp.asarray(rng.standard_normal((8, 40_000)), jnp.float32)
+        for k, tile in ((1, 256), (13, 256), (200, 256), (200, 64)):
+            ve, ie = jax.lax.top_k(s, k)
+            vg, ig = hierarchical_top_k(s, k, tile=tile)
+            np.testing.assert_array_equal(np.asarray(vg), np.asarray(ve))
+            np.testing.assert_array_equal(np.asarray(ig), np.asarray(ie))
+
+    def test_concentrated_in_one_tile(self):
+        from rails_tpu.index.top_k import hierarchical_top_k
+
+        # Adversarial: ALL top-k items inside a single tile — the union
+        # argument must still cover them (that tile is gathered whole).
+        rng = np.random.default_rng(12)
+        s = rng.standard_normal((4, 10_000)).astype(np.float32)
+        s[:, 3000:3200] += 100.0
+        s = jnp.asarray(s)
+        ve, ie = jax.lax.top_k(s, 150)
+        vg, ig = hierarchical_top_k(s, 150, tile=256)
+        np.testing.assert_array_equal(np.asarray(vg), np.asarray(ve))
+        np.testing.assert_array_equal(np.asarray(ig), np.asarray(ie))
+
+    def test_ties_exact_score_multiset(self):
+        from rails_tpu.index.top_k import hierarchical_top_k
+
+        rng = np.random.default_rng(13)
+        # Quantized scores: massive tie plateaus spanning tiles. The score
+        # MULTISET must match plain top_k (tie ids may legitimately differ).
+        s = jnp.asarray(
+            np.round(rng.standard_normal((8, 20_000)) * 2) / 2, jnp.float32
+        )
+        for k in (7, 200):
+            ve, _ = jax.lax.top_k(s, k)
+            vg, ig = hierarchical_top_k(s, k, tile=256)
+            np.testing.assert_array_equal(np.asarray(vg), np.asarray(ve))
+            # Returned ids must actually carry the returned scores.
+            picked = np.take_along_axis(
+                np.asarray(s), np.asarray(ig), axis=1
+            )
+            np.testing.assert_array_equal(picked, np.asarray(vg))
+
+    def test_uneven_tail_and_pad_rows(self):
+        from rails_tpu.index.top_k import NEG_PAD, hierarchical_top_k
+
+        rng = np.random.default_rng(14)
+        # X not a multiple of tile + trailing pad rows masked to NEG_PAD
+        # (the fused-serving layout).
+        s = rng.standard_normal((4, 9_991)).astype(np.float32)
+        s[:, 9_800:] = NEG_PAD
+        s = jnp.asarray(s)
+        ve, ie = jax.lax.top_k(s, 64)
+        vg, ig = hierarchical_top_k(s, 64, tile=256)
+        np.testing.assert_array_equal(np.asarray(vg), np.asarray(ve))
+        np.testing.assert_array_equal(np.asarray(ig), np.asarray(ie))
+
+    def test_few_tiles_falls_through(self):
+        from rails_tpu.index.top_k import hierarchical_top_k
+
+        rng = np.random.default_rng(15)
+        s = jnp.asarray(rng.standard_normal((4, 2_000)), jnp.float32)
+        ve, ie = jax.lax.top_k(s, 500)      # k > X/tile -> fallback branch
+        vg, ig = hierarchical_top_k(s, 500, tile=256)
+        np.testing.assert_array_equal(np.asarray(vg), np.asarray(ve))
+        np.testing.assert_array_equal(np.asarray(ig), np.asarray(ie))
+
+    def test_large_x_dispatch_via_chunked(self):
+        from rails_tpu.index.top_k import _CHUNK_MAX_X, chunked_top_k
+
+        rng = np.random.default_rng(16)
+        x = _CHUNK_MAX_X + 4_096
+        s = jnp.asarray(rng.standard_normal((2, x)), jnp.float32)
+        ve, ie = jax.lax.top_k(s, 50)
+        vg, ig = chunked_top_k(s, 50)       # dispatches to hierarchical
+        np.testing.assert_array_equal(np.asarray(vg), np.asarray(ve))
+        np.testing.assert_array_equal(np.asarray(ig), np.asarray(ie))
