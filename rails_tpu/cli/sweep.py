@@ -14,31 +14,43 @@ import logging
 import sys
 from typing import Dict, List
 
-# Algorithm menus per dataset (`eval_batch.py:40-71`).
+# Algorithm menus per dataset (`eval_batch.py:40-71`), extended with the
+# TPU-native engines so the default protocol exercises them: the fused Pallas
+# brute force (+ approx-select variant) and MoLIVFTopK — the FAISS IVFFlat
+# replacement, mirroring the reference's `MoLNaiveFaissTopK5` slot
+# (`eval_batch.py:23`).
 CONFIGURED_ALGORITHMS: Dict[str, List[str]] = {
     "ml-1m": [
         "MoLBruteForceTopK",
+        "MoLBruteForceTopKFused", "MoLBruteForceTopKFusedApprox",
         "MoLNaiveTopK5", "MoLNaiveTopK10", "MoLNaiveTopK50", "MoLNaiveTopK100",
         "MoLAvgTopK200", "MoLAvgTopK500", "MoLAvgTopK1000",
         "MoLCombTopK5_200", "MoLCombTopK50_500", "MoLCombTopK100_1000",
+        "MoLIVFTopK8",
     ],
     "ml-20m": [
         "MoLBruteForceTopK",
+        "MoLBruteForceTopKFused", "MoLBruteForceTopKFusedApprox",
         "MoLNaiveTopK5", "MoLNaiveTopK10", "MoLNaiveTopK50", "MoLNaiveTopK100",
         "MoLAvgTopK200", "MoLAvgTopK500", "MoLAvgTopK1000", "MoLAvgTopK2000",
         "MoLCombTopK5_200", "MoLCombTopK50_500", "MoLCombTopK100_1000",
+        "MoLIVFTopK16",
     ],
     "amzn-books": [
         "MoLBruteForceTopK",
+        "MoLBruteForceTopKFused", "MoLBruteForceTopKFusedApprox",
         "MoLNaiveTopK5", "MoLNaiveTopK10", "MoLNaiveTopK50",
         "MoLAvgTopK500", "MoLAvgTopK1000", "MoLAvgTopK2000", "MoLAvgTopK4000",
         "MoLCombTopK5_200", "MoLCombTopK50_500", "MoLCombTopK100_1000",
+        "MoLIVFTopK16",
     ],
     "synthetic": [
         "MoLBruteForceTopK",
+        "MoLBruteForceTopKFused",
         "MoLNaiveTopK10", "MoLNaiveTopK50",
         "MoLAvgTopK200", "MoLAvgTopK500",
         "MoLCombTopK10_200",
+        "MoLIVFTopK4",
     ],
 }
 
