@@ -199,7 +199,12 @@ def test_shard_bench_cli_replicated_and_train_steps(capsys):
         "--check-against-chunked",
     ])
     out = capsys.readouterr().out
-    assert "replicated_" in out
+    # Metric key stays mode-stable (parsers grep the sharded_ prefix); the
+    # A/B arm is identified by the separate "mode" field.
+    import json as _json
+    rec = _json.loads(out.splitlines()[-1])
+    assert rec["metric"].startswith("sharded_")
+    assert rec["mode"] == "replicated"
 
 
 def test_eval_cli_sort_by_length_matches_unsorted(capsys):
