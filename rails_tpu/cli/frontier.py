@@ -1,0 +1,304 @@
+"""Recall-vs-latency frontier study at multi-million-item corpus scale.
+
+Builds ONE clustered synthetic corpus with a pre-trained model, computes the
+streamed exact-MoL oracle once, then sweeps retrieval methods measuring
+per-method qps (in-jit scanned — tunnel RTT excluded), recall@k vs the exact
+oracle, and (for certified methods) the per-query certification rate.
+
+This is the at-scale counterpart of the reference's accuracy-vs-latency
+protocol (`/root/reference/eval_batch.py:20-71` driving
+`eval_from_checkpoint.py --eval_against_brute_force`), redesigned for a
+corpus that only exists as kernel-layout device tables.
+
+Corpus model: CLUSTERED, not near-duplicate. Item raw embeddings are
+  emb(i) = table[(i-1) % vocab] + sigma * rms(table) * eps(i)
+with sigma defaulting to 0.5 — cluster spread comparable to the centroid
+scale, so prefilters face genuine intra-cluster ranking work instead of the
+degenerate near-duplicate regime of the r3 study (docs/STATUS.md, 1M-row
+study postmortem).
+
+Usage (real chip, 8M items — takes tens of minutes):
+  python -m rails_tpu.cli.frontier --num-items 8000000 --train-steps 150
+Virtual CPU smoke:
+  JAX_PLATFORMS=cpu python -m rails_tpu.cli.frontier --num-items 20000 \
+      --train-steps 2 --runs 2 --methods MoLBruteForceTopKFused,MoLCertTopK512
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import logging
+import sys
+import time
+
+import numpy as np
+
+DEFAULT_METHODS = (
+    "MoLBruteForceTopKFused",
+    "MoLBruteForceTopKFusedApprox",
+    "MoLCertTopK1024",
+    "MoLCertTopK4096",
+    "MoLCertTopK16384",
+    "MoLCertTopK65536",
+    "MoLAvgTopK1024",
+    "MoLAvgTopK4096",
+    "MoLAvgTopK16384",
+    "MoLCombTopK50_4096",
+    "MoLNaiveTopK50",
+    "MoLIVFTopK8",
+    "MoLIVFTopK32",
+    "MoLIVFTopK128",
+)
+
+
+def main(argv=None) -> None:
+    logging.basicConfig(stream=sys.stdout, level=logging.INFO)
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default="ml-20m-hstu-mol")
+    p.add_argument("--num-items", type=int, default=8_000_000)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--k", type=int, default=200)
+    p.add_argument("--train-steps", type=int, default=150)
+    p.add_argument("--cluster-sigma", type=float, default=0.5,
+                   help="cluster spread relative to the centroid rms scale")
+    p.add_argument("--runs", type=int, default=8,
+                   help="scanned in-jit iterations per timing call")
+    p.add_argument("--methods", default=",".join(DEFAULT_METHODS))
+    p.add_argument("--int8", action="store_true",
+                   help="quantize the corpus tables to int8 after the bf16 "
+                   "build and run the sweep against them")
+    p.add_argument("--ivf-nlist", type=int, default=None)
+    p.add_argument("--ivf-iters", type=int, default=10)
+    p.add_argument("--output-json", default=None)
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from rails_tpu.core.config import get_experiment_config
+    from rails_tpu.cli.train import apply_override
+    from rails_tpu.data.datasets import (
+        SequenceDataset, generate_synthetic_sequences,
+    )
+    from rails_tpu.index import top_k as tk
+    from rails_tpu.index.factory import get_top_k_raw
+    from rails_tpu.index.oracle import streamed_exact_top_k
+    from rails_tpu.train.loop import create_train_state
+
+    x = args.num_items
+    vocab = min(x, 100_000)
+    cfg = get_experiment_config(args.config)
+    cfg = cfg.replace(
+        data=cfg.data.replace(
+            dataset_name="synthetic", synthetic_num_users=256,
+            synthetic_num_items=vocab,
+        ),
+        train=cfg.train.replace(
+            local_batch_size=args.batch_size, num_negatives=8,
+            main_module_bf16=True,
+        ),
+    )
+    for ov in args.set:
+        key, _, val = ov.partition("=")
+        cfg = apply_override(cfg, key, val)
+    seqs = generate_synthetic_sequences(
+        num_users=256, num_items=vocab,
+        max_len=cfg.data.synthetic_max_len or cfg.data.max_sequence_length + 2,
+        seed=0,
+        length_distribution=cfg.data.synthetic_length_distribution,
+    )
+    ds = SequenceDataset(seqs, cfg.data.max_sequence_length, ignore_last_n=1)
+    batch = next(
+        ds.batches(batch_size=args.batch_size,
+                   max_output_length=cfg.train.gr_output_length + 1,
+                   shuffle=False)
+    )
+    model, state, train_step, _ = create_train_state(
+        cfg, vocab, np.arange(1, vocab + 1, dtype=np.int32), batch,
+    )
+    rng = jax.random.PRNGKey(1)
+    step_i = 0
+    while step_i < args.train_steps:
+        before = step_i
+        for b in ds.batches(
+            batch_size=args.batch_size,
+            max_output_length=cfg.train.gr_output_length + 1,
+            shuffle=True, seed=step_i,
+        ):
+            rng, sub = jax.random.split(rng)
+            state, _ = train_step(state, b, sub)
+            step_i += 1
+            if step_i >= args.train_steps:
+                break
+        if step_i == before:
+            break
+    jax.block_until_ready(state.params)
+    logging.info("pre-trained %d steps", step_i)
+    params = state.params
+
+    sigma = args.cluster_sigma
+
+    @jax.jit
+    def embed_chunk(key, chunk_ids):
+        base = model.apply(
+            params, (chunk_ids - 1) % vocab + 1,
+            method=model.get_item_embeddings,
+        )
+        # Clustered: spread proportional to the centroid rms so clusters
+        # genuinely overlap (sigma=0.05 would reproduce the near-duplicate
+        # regime; sigma>=1 would wash the clusters out entirely).
+        scale = jnp.sqrt(jnp.mean(base.astype(jnp.float32) ** 2))
+        noise = sigma * scale * jax.random.normal(
+            key, base.shape, jnp.float32
+        )
+        return (base.astype(jnp.float32) + noise).astype(base.dtype)
+
+    embed_fn = lambda start, cids: embed_chunk(  # noqa: E731
+        jax.random.PRNGKey(start), cids
+    )
+    ids = jnp.arange(1, x + 1, dtype=jnp.int32)
+    t0 = time.perf_counter()
+    # Chunked on-device build at every size: the oracle regenerates each
+    # chunk's tables with the same per-chunk keys, so build and oracle see
+    # identical bits regardless of corpus size.
+    state_tk = tk.build_fused_state_chunked_on_device(
+        model, params, ids, embed_chunk_fn=embed_fn,
+        table_dtype=jnp.bfloat16, quantize=args.int8,
+    )
+    jax.block_until_ready(state_tk.fused_tables.item_comp_t)
+    logging.info(
+        "corpus built: %d items (%s tables) in %.1f s",
+        x, state_tk.fused_tables.item_comp_t.dtype,
+        time.perf_counter() - t0,
+    )
+
+    q = jax.jit(lambda p, f: model.apply(p, f, method=model.encode))(
+        params, batch.features
+    )
+    user_ids = batch.features.user_ids
+
+    methods = [m for m in args.methods.split(",") if m]
+    rows = []
+
+    t0 = time.perf_counter()
+    oracle_s, oracle_i = streamed_exact_top_k(
+        model, params, state_tk, q, user_ids, args.k,
+        embed_chunk_fn=embed_fn, item_ids_full=ids,
+    )
+    oracle_sets = [set(r.tolist()) for r in oracle_i]
+    logging.info("exact oracle computed in %.1f s", time.perf_counter() - t0)
+
+    if any(m.startswith("MoLIVF") for m in methods):
+        from rails_tpu.index.ivf import build_ivf_index
+
+        nlist = args.ivf_nlist or max(64, int(4 * np.sqrt(x)))
+        t0 = time.perf_counter()
+        # Single-device study: the plain (unsharded) index — the sharded
+        # wrapper layout is only consumable through make_sharded_top_k_fn.
+        ivf = build_ivf_index(
+            state_tk.avg_component, state_tk.item_ids, nlist=nlist,
+            num_iters=args.ivf_iters, chunk=16_384,
+        )
+        ivf_build_s = time.perf_counter() - t0
+        logging.info(
+            "ivf build: nlist=%d cap=%d overflow=%d in %.1f s",
+            ivf.centroids.shape[0], ivf.buckets.shape[1],
+            int(ivf.overflow.shape[0]), ivf_build_s,
+        )
+        state_tk = state_tk._replace(ivf=ivf)
+        rows.append({"method": "ivf_build", "seconds": round(ivf_build_s, 1),
+                     "nlist": int(ivf.centroids.shape[0])})
+
+    for method in methods:
+        name = method + ("Int8" if args.int8 and "Int8" not in method else "")
+        raw = get_top_k_raw(method)
+        is_cert = method.startswith("MoLCertTopK")
+
+        @functools.partial(jax.jit, static_argnames=())
+        def once(params_, state_, q_, uids_, raw=raw):
+            return raw(model, params_, state_, q_, args.k, user_ids=uids_)
+
+        try:
+            res = once(params, state_tk, q, user_ids)
+            res_ids = np.asarray(res.ids)
+        except Exception as e:  # noqa: BLE001 — report and continue sweep
+            logging.warning("%s failed: %s", name, e)
+            rows.append({"method": name, "error": str(e)[:200]})
+            continue
+        recall = float(np.mean([
+            len(set(r.tolist()) & oracle_sets[i]) / args.k
+            for i, r in enumerate(res_ids)
+        ]))
+
+        cert_rate = gap_p50 = gap_max = None
+        if is_cert:
+            budget = int(method.replace("MoLCertTopK", "").replace("Int8", ""))
+
+            @jax.jit
+            def cert_once(params_, state_, q_, uids_, budget=budget):
+                _, cert = tk.mol_certified_top_k(
+                    model, params_, state_, q_, args.k,
+                    cand_budget=budget, user_ids=uids_,
+                )
+                return cert
+            cert = cert_once(params, state_tk, q, user_ids)
+            cert_rate = float(np.mean(np.asarray(cert.certified)))
+            gaps = np.asarray(cert.gap_bound)
+            gap_p50 = float(np.median(gaps))
+            gap_max = float(gaps.max())
+
+        # In-jit scanned timing: tunnel RTT is ~25 ms/dispatch, so the scan
+        # amortizes it across `runs` distinct (perturbed) query batches; a
+        # result-carried dependency stops the backend deduping iterations.
+        @jax.jit
+        def timed(params_, state_, q_, uids_, seed, raw=raw):
+            def body(c, i):
+                r = raw(
+                    model, params_, state_,
+                    q_ + (seed + i + 1).astype(q_.dtype) * 1e-6,
+                    args.k, user_ids=uids_,
+                )
+                return c + r.ids[:, 0].astype(jnp.int32).sum(), None
+            tot, _ = jax.lax.scan(
+                body, jnp.int32(0), jnp.arange(args.runs)
+            )
+            return tot
+
+        np.asarray(timed(params, state_tk, q, user_ids, jnp.int32(0)))
+        t0 = time.perf_counter()
+        np.asarray(timed(params, state_tk, q, user_ids, jnp.int32(args.runs)))
+        dt = (time.perf_counter() - t0) / args.runs
+        row = {
+            "method": name,
+            "ms_per_batch": round(dt * 1e3, 2),
+            "qps": round(args.batch_size / dt, 1),
+            f"recall@{args.k}": round(recall, 4),
+        }
+        if cert_rate is not None:
+            row["cert_rate"] = round(cert_rate, 4)
+            row["gap_bound_p50"] = round(gap_p50, 4)
+            row["gap_bound_max"] = round(gap_max, 4)
+        rows.append(row)
+        logging.info("%s", json.dumps(row))
+
+    summary = {
+        "metric": "frontier",
+        "num_items": x,
+        "batch_size": args.batch_size,
+        "k": args.k,
+        "cluster_sigma": sigma,
+        "train_steps": step_i,
+        "int8": args.int8,
+        "rows": rows,
+    }
+    print(json.dumps(summary))
+    if args.output_json:
+        with open(args.output_json, "w") as f:
+            json.dump(summary, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

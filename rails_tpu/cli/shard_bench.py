@@ -275,98 +275,22 @@ def main(argv=None) -> None:
     if args.check_against_chunked:
         # Exactness oracle: a single-device chunked scan, merged host-side —
         # the distributed merge must reproduce it (up to score ties) at any
-        # corpus size. The oracle STREAMS: each chunk's component tables are
-        # regenerated from the embedding function (or sliced from the small-
-        # corpus embedding array) and scored through the plain XLA MoL path;
-        # no full-corpus standard-layout table is ever materialized, so the
-        # check runs at the full d_P=128 geometry where that table would not
-        # fit host RAM (VERDICT r2 item #7).
-        from rails_tpu.similarity.mol import MoLItemTables
+        # corpus size. The oracle STREAMS (shared with `cli/frontier.py`,
+        # see `rails_tpu/index/oracle.py`): no full-corpus standard-layout
+        # table is ever materialized, so the check runs at the full d_P=128
+        # geometry where that table would not fit host RAM (VERDICT r2 #7).
+        from rails_tpu.index.oracle import streamed_exact_top_k
 
-        chunk = 262_144   # == the fused build's chunk (same noise keying)
-        # Scoring memory within a chunk is decoupled from the build chunk:
-        # the XLA MoL path materializes (B, sub, L) logits and (B, sub, H)
-        # gating hiddens, so sub-chunk the SCORING to a ~1 GB budget (the
-        # tables themselves are regenerated per build-chunk for identical
-        # noise bits, then sliced).
-        m = model.cfg.mol
-        bytes_per_item = (
-            args.batch_size
-            * (m.num_logits + max(m.gating_qi_hidden_dim, 0) + 8) * 4 * 2
+        best_s, best_i = streamed_exact_top_k(
+            model, params, state_tk, q, batch.features.user_ids, args.k,
+            # Kernel-layout-only builds regenerate each chunk's tables from
+            # the same per-chunk-keyed embedding fn the build used.
+            embed_chunk_fn=(
+                (lambda s0, cids: embed_chunk(jax.random.PRNGKey(s0), cids))
+                if kernel_layout_build else None
+            ),
+            item_ids_full=ids if kernel_layout_build else None,
         )
-        sub_chunk = max(4096, min(chunk, (1 << 30) // max(bytes_per_item, 1)))
-        sub_chunk = 1 << (sub_chunk.bit_length() - 1)   # divides the 2^18 chunk
-
-        @jax.jit
-        def chunk_tables(p, emb):
-            t = model.apply(p, emb, method=model.build_item_tables)
-            return MoLItemTables(
-                component_embeddings=t.component_embeddings.astype(
-                    jnp.bfloat16
-                ),
-                gating_partial=(
-                    None if t.gating_partial is None
-                    else t.gating_partial.astype(jnp.bfloat16)
-                ),
-            )
-
-        @jax.jit
-        def score_chunk(p, qq, tables, uids):
-            return model.apply(
-                p, qq, tables, user_ids=uids, method=model.score_precomputed
-            )
-
-        chunked_build = kernel_layout_build
-        best_s = best_i = None
-        for s0 in range(0, x, chunk):
-            e0 = min(s0 + chunk, x)
-            if chunked_build:
-                # The standard-layout table was never materialized (the state
-                # holds kernel-layout tables only); regenerate this chunk's
-                # tables from the same per-chunk-keyed embedding function the
-                # build used — identical bits, streamed.
-                emb_c = embed_chunk(jax.random.PRNGKey(s0), ids[s0:e0])
-                t_c = chunk_tables(params, emb_c)
-            else:
-                # Standard tables exist: slice them (same bf16 bits the
-                # serving path reads — exact).
-                t_c = MoLItemTables(
-                    component_embeddings=(
-                        state_tk.item_tables.component_embeddings[s0:e0]
-                    ),
-                    gating_partial=(
-                        None
-                        if state_tk.item_tables.gating_partial is None
-                        else state_tk.item_tables.gating_partial[s0:e0]
-                    ),
-                )
-            for s1 in range(0, e0 - s0, sub_chunk):
-                e1 = min(s1 + sub_chunk, e0 - s0)
-                t_sub = MoLItemTables(
-                    component_embeddings=t_c.component_embeddings[s1:e1],
-                    gating_partial=(
-                        None if t_c.gating_partial is None
-                        else t_c.gating_partial[s1:e1]
-                    ),
-                )
-                sc = np.asarray(
-                    score_chunk(params, q, t_sub, batch.features.user_ids)
-                )
-                k_loc = min(args.k, sc.shape[1])
-                idx = np.argpartition(-sc, k_loc - 1, axis=1)[:, :k_loc]
-                ss = np.take_along_axis(sc, idx, axis=1)
-                ii = np.asarray(state_tk.item_ids[s0 + s1 : s0 + e1])[idx]
-                if best_s is None:
-                    best_s, best_i = ss, ii
-                else:
-                    cs = np.concatenate([best_s, ss], axis=1)
-                    ci = np.concatenate([best_i, ii], axis=1)
-                    sel = np.argpartition(-cs, args.k - 1, axis=1)[:, : args.k]
-                    best_s = np.take_along_axis(cs, sel, axis=1)
-                    best_i = np.take_along_axis(ci, sel, axis=1)
-        order = np.argsort(-best_s, axis=1, kind="stable")
-        best_s = np.take_along_axis(best_s, order, axis=1)[:, : args.k]
-        best_i = np.take_along_axis(best_i, order, axis=1)[:, : args.k]
         # The fused kernel runs its gating MLP in bf16 (the chunked oracle
         # scores in f32 math over the same bf16 tables): ~1.5% score jitter
         # and near-tie reorderings are expected there; the non-fused paths

@@ -53,6 +53,12 @@ def _mask_pad_rows(scores: jnp.ndarray, item_ids: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(item_ids == 0, NEG_PAD, scores)
 
 
+def _mol_cfg(model):
+    """The MoLConfig of either a full encoder model (cfg.mol) or a bare
+    similarity wrapper whose cfg IS the MoLConfig (tests drive both)."""
+    return getattr(model.cfg, "mol", model.cfg)
+
+
 # Item-table-build jit cache keyed by model identity: get_eval_state runs
 # once per epoch in the driver, and a fresh jit(lambda) each call would
 # recompile the (corpus-sized) table build every time. The model reference
@@ -547,7 +553,7 @@ def _fused_scores(
     return fused_mol_scores_t(
         q_comp.astype(q_dtype), qp,
         ft.item_comp_t, ft.item_partial_t, weights,
-        float(model.cfg.mol.temperature), block_x=block_x,
+        float(_mol_cfg(model).temperature), block_x=block_x,
         comp_scale=ft.comp_scale, partial_scale=ft.partial_scale,
     )[:, : ft.num_items]
 
@@ -634,7 +640,9 @@ def mol_certified_top_k(
     k: int,
     cand_budget: int,
     user_ids: Optional[jnp.ndarray] = None,
-    block_x: int = 512,
+    # Default matches the fused builders' pad multiple (fused_block_x=256):
+    # the UB kernel requires block_x | X_padded.
+    block_x: int = 256,
     margin: float = 0.0,
     cand_chunk: Optional[int] = 8192,
 ) -> Tuple[TopKResult, TopKCertificate]:
@@ -670,7 +678,7 @@ def mol_certified_top_k(
     )
     ub = fused_mol_ub_t(
         q_comp.astype(q_dtype), ft.item_comp_t,
-        float(model.cfg.mol.temperature), block_x=block_x,
+        float(_mol_cfg(model).temperature), block_x=block_x,
         comp_scale=ft.comp_scale,
     )[:, : ft.num_items]
     ub = _mask_pad_rows(ub, state.item_ids[: ub.shape[1]])
@@ -902,7 +910,6 @@ def _naive_candidates(
     x = state.item_ids.shape[0]
     full_cover = k_per_group >= x
     k_per_group = min(k_per_group, x)
-    inv_t = 1.0 / float(model.cfg.mol.temperature)
 
     def _maybe(cands, thresholds):
         if not return_bound:
@@ -910,6 +917,9 @@ def _naive_candidates(
         if full_cover:
             # Every item is in every group list: nothing is unexamined.
             return cands, jnp.full((b,), NEG_PAD, jnp.float32)
+        # Lazy: only bounded (certified) calls need a MoL temperature —
+        # uncertified calls also serve cfg-less test models.
+        inv_t = 1.0 / float(_mol_cfg(model).temperature)
         return cands, jnp.max(thresholds, axis=1) * inv_t
 
     if x <= corpus_chunk:
