@@ -38,20 +38,104 @@ def _ckptr():
     return ocp.PyTreeCheckpointer()
 
 
-def save_serving_state(path: str, eval_state) -> str:
-    """Write an `EvalState`'s corpus tables + metadata under `path`."""
+# ------------------------------------------------------------------ #
+# Streamed (chunked-memmap) format for corpus-scale states.
+#
+# The orbax path `jax.device_get`s every table whole — one host buffer of
+# the FULL corpus tables, which cannot scale to a sharded near-HBM state
+# (e.g. 100M-item int8 multi-host). The streamed format instead:
+#   save: slices each table along its item axis in `chunk_items`-sized
+#         pieces (a slice of a sharded jax Array gathers only that slice)
+#         and writes them into a preallocated .npy memmap — peak host
+#         memory is ONE chunk;
+#   load: `np.load(mmap_mode="r")` — zero-copy host staging; the
+#         `host=True` path hands the memmaps straight to
+#         `pad_and_shard_state`, whose per-shard `device_put` reads shard
+#         slices from the mapped file (pages stream through the OS cache).
+# bf16 (an ml_dtypes type) does not round-trip the npy descr, so such
+# arrays are stored as uint16 bit patterns with the logical dtype in the
+# metadata.
+# ------------------------------------------------------------------ #
+
+# Item axis per payload key (every other axis is geometry-sized).
+_ITEM_AXES = {
+    "item_ids": 0,
+    "component_embeddings": 0,
+    "gating_partial": 0,
+    "avg_component": 0,
+    "item_embeddings": 0,
+    "fused_item_comp_t": 2,
+    "fused_item_partial_t": 1,
+    "fused_comp_scale": 1,
+    "fused_partial_scale": 1,
+}
+
+
+def _streamed_write(path, name, arr, axis, chunk_items):
+    """Chunk-copy `arr` (jax or numpy) into `<path>/<name>.npy`.
+
+    Returns the metadata entry (shape, stored dtype, logical dtype)."""
+    from numpy.lib.format import open_memmap
+
+    logical = str(arr.dtype)
+    try:
+        store_dtype = np.dtype(logical)
+        store_view = None
+    except TypeError:
+        # Non-numpy-native dtype (bf16 & friends): store the bit pattern.
+        store_view = np.dtype(f"uint{np.dtype(arr.dtype).itemsize * 8}")
+        store_dtype = store_view
+    shape = tuple(int(d) for d in arr.shape)
+    mm = open_memmap(
+        os.path.join(path, name + ".npy"), mode="w+",
+        dtype=store_dtype, shape=shape,
+    )
+    n = shape[axis]
+    sl = [slice(None)] * arr.ndim
+    for s0 in range(0, n, chunk_items):
+        sl[axis] = slice(s0, min(s0 + chunk_items, n))
+        piece = np.asarray(jax.device_get(arr[tuple(sl)]))
+        if store_view is not None:
+            piece = piece.view(store_view)
+        mm[tuple(sl)] = piece
+    mm.flush()
+    del mm
+    return {
+        "shape": list(shape),
+        "stored": str(store_dtype),
+        "logical": logical,
+    }
+
+
+def _streamed_read(path, name, entry):
+    """Memory-map `<path>/<name>.npy` back at its logical dtype (no copy)."""
+    mm = np.load(os.path.join(path, name + ".npy"), mmap_mode="r")
+    if entry["logical"] != entry["stored"]:
+        import ml_dtypes
+
+        mm = mm.view(np.dtype(getattr(ml_dtypes, entry["logical"])))
+    return mm
+
+
+def save_serving_state(
+    path: str,
+    eval_state,
+    streamed: Optional[bool] = None,
+    chunk_items: int = 1 << 20,
+) -> str:
+    """Write an `EvalState`'s corpus tables + metadata under `path`.
+
+    `streamed=None` auto-selects the chunked-memmap format once the corpus
+    tables exceed 1 GB — the orbax path host-gathers every table WHOLE
+    before writing, which cannot scale to a sharded near-HBM state. Forcing
+    `streamed=False` keeps the legacy orbax layout."""
     st = eval_state.topk_state
-    payload = {
-        "item_ids": jax.device_get(st.item_ids),
-        "component_embeddings": jax.device_get(
-            st.item_tables.component_embeddings
-        ),
-        "gating_partial": (
-            jax.device_get(st.item_tables.gating_partial)
-            if st.item_tables.gating_partial is not None else None
-        ),
-        "avg_component": jax.device_get(st.avg_component),
-        "item_embeddings": jax.device_get(eval_state.item_embeddings),
+    arrays = {
+        "item_ids": st.item_ids,
+        "component_embeddings": st.item_tables.component_embeddings,
+        "gating_partial": st.item_tables.gating_partial,
+        "avg_component": st.avg_component,
+        "item_embeddings": eval_state.item_embeddings,
     }
     meta = {
         "top_k_method": eval_state.top_k_method,
@@ -61,26 +145,76 @@ def save_serving_state(path: str, eval_state) -> str:
     }
     if st.fused_tables is not None:
         ft = st.fused_tables
-        payload["fused_item_comp_t"] = jax.device_get(ft.item_comp_t)
-        payload["fused_item_partial_t"] = jax.device_get(ft.item_partial_t)
+        arrays["fused_item_comp_t"] = ft.item_comp_t
+        arrays["fused_item_partial_t"] = ft.item_partial_t
         meta["fused_num_items"] = ft.num_items
         if ft.comp_scale is not None:
-            payload["fused_comp_scale"] = jax.device_get(ft.comp_scale)
-            payload["fused_partial_scale"] = jax.device_get(ft.partial_scale)
+            arrays["fused_comp_scale"] = ft.comp_scale
+            arrays["fused_partial_scale"] = ft.partial_scale
+    ivf_arrays = {}
     if st.ivf is not None:
+        ivf_arrays = {f: getattr(st.ivf, f) for f in st.ivf._fields}
+
+    def _nbytes(a):
+        return 0 if a is None else int(np.prod(a.shape)) * np.dtype(
+            a.dtype
+        ).itemsize
+
+    total = sum(_nbytes(a) for a in arrays.values())
+    if streamed is None:
+        streamed = total > (1 << 30)
+    path = os.path.abspath(path)
+
+    if streamed:
+        # Chunked-memmap format: per-table .npy files filled item-chunk by
+        # item-chunk; peak host memory is one chunk, never the full tables.
+        os.makedirs(path, exist_ok=True)
+        meta["format"] = "streamed"
+        meta["arrays"] = {}
+        for name, a in arrays.items():
+            if a is None or int(np.prod(a.shape)) == 0:
+                meta["arrays"][name] = (
+                    None if a is None
+                    else {"empty": [list(map(int, a.shape)), str(a.dtype)]}
+                )
+                continue
+            meta["arrays"][name] = _streamed_write(
+                path, name, a, _ITEM_AXES.get(name, 0), chunk_items
+            )
+        meta["ivf_arrays"] = {}
+        for f, a in ivf_arrays.items():
+            if int(np.prod(a.shape)) == 0:
+                meta["ivf_arrays"][f] = {
+                    "empty": [list(map(int, a.shape)), str(a.dtype)]
+                }
+                continue
+            meta["ivf_arrays"][f] = _streamed_write(
+                path, "ivf_" + f, a, 0, chunk_items
+            )
+        if jax.process_index() == 0:
+            with open(os.path.join(path, "meta.json"), "w") as f:
+                json.dump(meta, f, indent=2)
+            # Legacy sidecar location so load_serving_state finds either.
+            with open(path + ".meta.json", "w") as f:
+                json.dump(meta, f, indent=2)
+        return path
+
+    payload = {
+        k: jax.device_get(v) for k, v in arrays.items() if v is not None
+    }
+    if "gating_partial" not in payload:
+        payload["gating_partial"] = None
+    if ivf_arrays:
         # Named-field dict (robust restore) with zero-size leaves carried in
         # metadata — orbax refuses empty arrays (e.g. an empty overflow).
         ivf_dict = {
-            f: np.asarray(jax.device_get(getattr(st.ivf, f)))
-            for f in st.ivf._fields
+            f: np.asarray(jax.device_get(a)) for f, a in ivf_arrays.items()
         }
         meta["ivf_empty"] = {
             f: [list(v.shape), str(v.dtype)]
             for f, v in ivf_dict.items() if v.size == 0
         }
-        payload["ivf"] = {
-            f: v for f, v in ivf_dict.items() if v.size > 0
-        }
+        payload["ivf"] = {f: v for f, v in ivf_dict.items() if v.size > 0}
     # Orbax refuses zero-size arrays (e.g. MIPS states carry empty MoL
     # tables); carry every empty leaf's shape/dtype in the metadata instead.
     empty = {}
@@ -91,7 +225,6 @@ def save_serving_state(path: str, eval_state) -> str:
             empty[key] = [list(a.shape), str(a.dtype)]
             del payload[key]
     meta["empty_leaves"] = empty
-    path = os.path.abspath(path)
     _ckptr().save(path, payload, force=True)
     if jax.process_index() == 0:
         with open(path + ".meta.json", "w") as f:
@@ -114,9 +247,46 @@ def load_serving_state(path: str, model, params, host: bool = False):
     from rails_tpu.train.evaluation import EvalState
 
     path = os.path.abspath(path)
-    with open(path + ".meta.json") as f:
+    meta_file = (
+        os.path.join(path, "meta.json")
+        if os.path.exists(os.path.join(path, "meta.json"))
+        else path + ".meta.json"
+    )
+    with open(meta_file) as f:
         meta = json.load(f)
-    raw = _ckptr().restore(path)
+    if meta.get("format") == "streamed":
+        # Chunked-memmap format: zero-copy host staging. `host=True` keeps
+        # the memmaps; `pad_and_shard_state`'s per-shard device_put then
+        # streams shard slices straight from the mapped files.
+        def _restore_empty(entry):
+            shape, dtype = entry["empty"]
+            try:
+                dt = np.dtype(dtype)
+            except TypeError:
+                import ml_dtypes
+
+                dt = np.dtype(getattr(ml_dtypes, dtype))
+            return np.zeros(shape, dtype=dt)
+
+        raw = {}
+        for name, entry in meta["arrays"].items():
+            if entry is None:
+                raw[name] = None
+            elif "empty" in entry:
+                raw[name] = _restore_empty(entry)
+            else:
+                raw[name] = _streamed_read(path, name, entry)
+        if meta.get("has_ivf"):
+            raw["ivf"] = {
+                f: (
+                    _restore_empty(e) if "empty" in e
+                    else _streamed_read(path, "ivf_" + f, e)
+                )
+                for f, e in meta["ivf_arrays"].items()
+            }
+            meta.setdefault("ivf_empty", {})
+    else:
+        raw = _ckptr().restore(path)
     for key, (shape, dtype) in meta.get("empty_leaves", {}).items():
         raw[key] = np.zeros(shape, dtype=np.dtype(dtype))
     to_dev = np.asarray if host else jax.numpy.asarray

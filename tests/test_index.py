@@ -359,6 +359,93 @@ class TestServingStatePersistence:
             np.asarray(got.scores), np.asarray(want.scores), rtol=1e-6,
         )
 
+    @pytest.mark.parametrize(
+        "method", ["MoLBruteForceTopKFusedInt8", "MoLIVFTopK4"],
+    )
+    def test_streamed_save_load_roundtrip(self, trained, tmp_path, method):
+        """The chunked-memmap format (streamed=True) round-trips to
+        identical retrieval results — incl. int8 scales (bf16/int8 bit
+        patterns stored as uint views) and the IVF index."""
+        import dataclasses
+
+        from rails_tpu.index.serving_state import (
+            load_serving_state,
+            save_serving_state,
+        )
+
+        cfg, ds, model, params, batches = trained
+        es = get_eval_state(
+            model, params, ds.all_item_ids, method, table_dtype=jnp.float32,
+        )
+        feats = batches[0].features
+        q = model.apply(params, feats, method=model.encode)
+        want = es.top_k_fn(q, 15, user_ids=feats.user_ids)
+
+        path = str(tmp_path / "serving_state_streamed")
+        # chunk_items far below the corpus size: many chunks per table.
+        save_serving_state(path, es, streamed=True, chunk_items=64)
+        es2 = load_serving_state(path, model, params)
+        got = es2.top_k_fn(q, 15, user_ids=feats.user_ids)
+        np.testing.assert_array_equal(
+            np.asarray(got.ids), np.asarray(want.ids)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.scores), np.asarray(want.scores), rtol=1e-6,
+        )
+
+    def test_streamed_save_of_sharded_state_roundtrips_on_mesh(
+        self, trained, tmp_path
+    ):
+        """Save a state that LIVES SHARDED on the 8-way mesh (per-chunk
+        slices gather chunk-sized pieces — never the full tables), host-load
+        the memmaps, re-shard, and retrieve identically."""
+        import dataclasses
+
+        import jax
+        from rails_tpu.core.config import MeshConfig
+        from rails_tpu.core.mesh import make_mesh, replicate
+        from rails_tpu.index.serving_state import (
+            load_serving_state,
+            save_serving_state,
+        )
+        from rails_tpu.index.sharded import (
+            make_sharded_top_k_fn, pad_and_shard_state,
+        )
+
+        cfg, ds, model, params, batches = trained
+        es = get_eval_state(
+            model, params, ds.all_item_ids, "MoLBruteForceTopKFused",
+            table_dtype=jnp.float32,
+        )
+        mesh = make_mesh(MeshConfig(item_parallel=8))
+        sh_state = pad_and_shard_state(es.topk_state, mesh)
+        feats = batches[0].features
+        q = model.apply(params, feats, method=model.encode)
+        params_r = replicate(params, mesh)
+        fn = make_sharded_top_k_fn(
+            "MoLBruteForceTopKFused", model, params_r, sh_state, mesh, k=15,
+        )
+        want = fn(q, user_ids=feats.user_ids)
+
+        path = str(tmp_path / "ss_sharded_streamed")
+        save_serving_state(
+            path, dataclasses.replace(es, topk_state=sh_state),
+            streamed=True, chunk_items=64,
+        )
+        es_h = load_serving_state(path, model, params, host=True)
+        assert isinstance(es_h.topk_state.avg_component, np.ndarray)
+        sh2 = pad_and_shard_state(es_h.topk_state, mesh)
+        fn2 = make_sharded_top_k_fn(
+            "MoLBruteForceTopKFused", model, params_r, sh2, mesh, k=15,
+        )
+        got = fn2(q, user_ids=feats.user_ids)
+        np.testing.assert_array_equal(
+            np.asarray(got.ids), np.asarray(want.ids)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.scores), np.asarray(want.scores), rtol=1e-6,
+        )
+
     def test_host_load_feeds_sharded_upload(self, trained, tmp_path):
         """host=True restores numpy tables (no unsharded device copy) that
         pad_and_shard_state uploads directly to the sharded layout."""
