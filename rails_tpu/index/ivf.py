@@ -142,10 +142,17 @@ def kmeans(
     num_chunks = -(-x // chunk)
     starts = jnp.arange(num_chunks, dtype=jnp.int32) * chunk
     data_dev = jnp.asarray(data)
-    vvec = None if valid is None else valid.astype(jnp.float32)
+    use_valid = valid is not None
+    # Passed as a jit ARGUMENT, never closed over: a closed-over multi-GB
+    # table becomes a captured compile-time constant, which both bloats the
+    # executable and (on the axon tunnel) breaks remote compilation outright.
+    vvec = (
+        valid.astype(jnp.float32) if use_valid
+        else jnp.zeros((1,), jnp.float32)
+    )
 
     @jax.jit
-    def step(cent):
+    def step(cent, table, vv):
         half_norm = 0.5 * jnp.sum(cent * cent, axis=1)          # (nlist,)
 
         def body(carry, start):
@@ -154,13 +161,13 @@ def kmeans(
             # global index precedes `start` are masked so nothing double
             # counts. No padded copy of the (possibly multi-GB) table.
             blk = jax.lax.dynamic_slice_in_dim(
-                data_dev, start, chunk
+                table, start, chunk
             ).astype(jnp.float32)
             cs = jnp.minimum(start, x - chunk)
             rows = cs + jnp.arange(chunk)
             vld = (rows >= start).astype(jnp.float32)
-            if vvec is not None:
-                vld = vld * jax.lax.dynamic_slice_in_dim(vvec, start, chunk)
+            if use_valid:
+                vld = vld * jax.lax.dynamic_slice_in_dim(vv, start, chunk)
             sims = blk @ cent.T - half_norm[None, :]             # (C, nlist)
             assign = jnp.argmax(sims, axis=1)
             onehot = (
@@ -202,7 +209,7 @@ def kmeans(
         return jnp.where(empty[:, None], stolen, new)
 
     for _ in range(num_iters):
-        centroids = step(centroids)
+        centroids = step(centroids, data_dev, vvec)
     return centroids
 
 
@@ -223,17 +230,18 @@ def assign_choices(
     r = min(num_choices, nlist)
 
     @jax.jit
-    def block_choices(blk):
-        half_norm = 0.5 * jnp.sum(centroids * centroids, axis=1)
-        sims = blk.astype(jnp.float32) @ centroids.T - half_norm[None, :]
+    def block_choices(blk, cent):
+        half_norm = 0.5 * jnp.sum(cent * cent, axis=1)
+        sims = blk.astype(jnp.float32) @ cent.T - half_norm[None, :]
         v, i = jax.lax.top_k(sims, r)
         return v, i.astype(jnp.int32)
 
     out_c = np.empty((x, r), np.int32)
     out_v = np.empty((x, r), np.float32)
+    cent_dev = jnp.asarray(centroids)
     for start in range(0, x, chunk):
         end = min(start + chunk, x)
-        v, i = block_choices(jnp.asarray(data[start:end]))
+        v, i = block_choices(jnp.asarray(data[start:end]), cent_dev)
         out_v[start:end] = np.asarray(v)
         out_c[start:end] = np.asarray(i)
     return out_c, out_v
