@@ -138,6 +138,7 @@ def main(argv=None) -> None:
     jax.block_until_ready(state.params)
     logging.info("pre-trained %d steps", step_i)
     params = state.params
+    del state, train_step   # free the AdamW moments before the big build
 
     sigma = args.cluster_sigma
 
@@ -174,6 +175,15 @@ def main(argv=None) -> None:
         x, state_tk.fused_tables.item_comp_t.dtype,
         time.perf_counter() - t0,
     )
+    if state_tk.avg_component is not None:
+        # The fp32 avg table is 2.05 GB at 8M items; alongside the resident
+        # fused tables it pushed several method sweeps over the 15.75 GB HBM
+        # line (measured: Cert1024 missed by 30 MB). bf16 halves it; every
+        # consumer (kmeans chunks, Avg/IVF prefilter matmuls) upcasts to
+        # fp32 at the point of use.
+        state_tk = state_tk._replace(
+            avg_component=state_tk.avg_component.astype(jnp.bfloat16)
+        )
 
     q = jax.jit(lambda p, f: model.apply(p, f, method=model.encode))(
         params, batch.features
