@@ -164,9 +164,11 @@ def main(argv=None) -> None:
     t0 = time.perf_counter()
     # Chunked on-device build at every size: the oracle regenerates each
     # chunk's tables with the same per-chunk keys, so build and oracle see
-    # identical bits regardless of corpus size.
+    # identical bits regardless of corpus size — both chunk at the shared
+    # tk.BUILD_CHUNK, passed explicitly (ADVICE r4).
     state_tk = tk.build_fused_state_chunked_on_device(
         model, params, ids, embed_chunk_fn=embed_fn,
+        chunk_size=tk.BUILD_CHUNK,
         table_dtype=jnp.bfloat16, quantize=args.int8,
     )
     jax.block_until_ready(state_tk.fused_tables.item_comp_t)
@@ -197,6 +199,7 @@ def main(argv=None) -> None:
     oracle_s, oracle_i = streamed_exact_top_k(
         model, params, state_tk, q, user_ids, args.k,
         embed_chunk_fn=embed_fn, item_ids_full=ids,
+        chunk=tk.BUILD_CHUNK,
     )
     oracle_sets = [set(r.tolist()) for r in oracle_i]
     logging.info("exact oracle computed in %.1f s", time.perf_counter() - t0)

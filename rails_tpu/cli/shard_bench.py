@@ -169,11 +169,13 @@ def main(argv=None) -> None:
             # host-staged build costs a full corpus download+upload over
             # the tunnel for nothing.
             from rails_tpu.index.top_k import (
+                BUILD_CHUNK,
                 build_fused_state_chunked_on_device,
             )
 
             state_tk = build_fused_state_chunked_on_device(
                 model, params, ids, embed_chunk_fn=embed_fn,
+                chunk_size=BUILD_CHUNK,
                 table_dtype=jnp.bfloat16,
                 # int8: quantize per chunk IN the build (per-item scales
                 # make it equivalent to post-hoc quantization) so the bf16
@@ -184,10 +186,13 @@ def main(argv=None) -> None:
         else:
             # Chunked streaming build: only (chunk, D) temporaries on
             # device; host staging feeds the sharded upload.
-            from rails_tpu.index.top_k import build_fused_state_chunked
+            from rails_tpu.index.top_k import (
+                BUILD_CHUNK, build_fused_state_chunked,
+            )
 
             state_tk = build_fused_state_chunked(
                 model, params, ids, embed_chunk_fn=embed_fn,
+                chunk_size=BUILD_CHUNK,
                 table_dtype=jnp.bfloat16, keep_on_host=True,
             )
     else:
@@ -280,16 +285,19 @@ def main(argv=None) -> None:
         # table is ever materialized, so the check runs at the full d_P=128
         # geometry where that table would not fit host RAM (VERDICT r2 #7).
         from rails_tpu.index.oracle import streamed_exact_top_k
+        from rails_tpu.index.top_k import BUILD_CHUNK
 
         best_s, best_i = streamed_exact_top_k(
             model, params, state_tk, q, batch.features.user_ids, args.k,
             # Kernel-layout-only builds regenerate each chunk's tables from
-            # the same per-chunk-keyed embedding fn the build used.
+            # the same per-chunk-keyed embedding fn the build used — same
+            # chunking as the build, passed explicitly (ADVICE r4).
             embed_chunk_fn=(
                 (lambda s0, cids: embed_chunk(jax.random.PRNGKey(s0), cids))
                 if kernel_layout_build else None
             ),
             item_ids_full=ids if kernel_layout_build else None,
+            chunk=BUILD_CHUNK,
         )
         # The fused kernel runs its gating MLP in bf16 (the chunked oracle
         # scores in f32 math over the same bf16 tables): ~1.5% score jitter

@@ -23,6 +23,7 @@ CONFIGURED_ALGORITHMS: Dict[str, List[str]] = {
     "ml-1m": [
         "MoLBruteForceTopK",
         "MoLBruteForceTopKFused", "MoLBruteForceTopKFusedApprox",
+        "MoLBruteForceTopKFusedInt8",
         "MoLNaiveTopK5", "MoLNaiveTopK10", "MoLNaiveTopK50", "MoLNaiveTopK100",
         "MoLAvgTopK200", "MoLAvgTopK500", "MoLAvgTopK1000",
         "MoLCombTopK5_200", "MoLCombTopK50_500", "MoLCombTopK100_1000",
@@ -31,6 +32,7 @@ CONFIGURED_ALGORITHMS: Dict[str, List[str]] = {
     "ml-20m": [
         "MoLBruteForceTopK",
         "MoLBruteForceTopKFused", "MoLBruteForceTopKFusedApprox",
+        "MoLBruteForceTopKFusedInt8",
         "MoLNaiveTopK5", "MoLNaiveTopK10", "MoLNaiveTopK50", "MoLNaiveTopK100",
         "MoLAvgTopK200", "MoLAvgTopK500", "MoLAvgTopK1000", "MoLAvgTopK2000",
         "MoLCombTopK5_200", "MoLCombTopK50_500", "MoLCombTopK100_1000",
@@ -39,6 +41,7 @@ CONFIGURED_ALGORITHMS: Dict[str, List[str]] = {
     "amzn-books": [
         "MoLBruteForceTopK",
         "MoLBruteForceTopKFused", "MoLBruteForceTopKFusedApprox",
+        "MoLBruteForceTopKFusedInt8",
         "MoLNaiveTopK5", "MoLNaiveTopK10", "MoLNaiveTopK50",
         "MoLAvgTopK500", "MoLAvgTopK1000", "MoLAvgTopK2000", "MoLAvgTopK4000",
         "MoLCombTopK5_200", "MoLCombTopK50_500", "MoLCombTopK100_1000",
@@ -47,6 +50,7 @@ CONFIGURED_ALGORITHMS: Dict[str, List[str]] = {
     "synthetic": [
         "MoLBruteForceTopK",
         "MoLBruteForceTopKFused",
+        "MoLBruteForceTopKFusedInt8",
         "MoLNaiveTopK10", "MoLNaiveTopK50",
         "MoLAvgTopK200", "MoLAvgTopK500",
         "MoLCombTopK10_200",
@@ -152,6 +156,12 @@ def main(argv=None) -> None:
         help="append methods beyond the reference menu (e.g. "
         "MoLBruteForceTopKFused MoLIVFTopK16)",
     )
+    p.add_argument(
+        "--menu", default=None, choices=sorted(CONFIGURED_ALGORITHMS),
+        help="use this dataset's algorithm menu regardless of the config's "
+        "dataset (e.g. run the amzn-books menu on a synthetic corpus at "
+        "Books scale)",
+    )
     args = p.parse_args(argv)
 
     from rails_tpu.cli.train import apply_override
@@ -193,7 +203,7 @@ def main(argv=None) -> None:
     if args.ckpt:
         state, _, _ = restore_checkpoint(args.ckpt, state)
     algorithms = CONFIGURED_ALGORITHMS.get(
-        cfg.data.dataset_name, CONFIGURED_ALGORITHMS["synthetic"]
+        args.menu or cfg.data.dataset_name, CONFIGURED_ALGORITHMS["synthetic"]
     )
     # Budgets above the corpus size are meaningless (the algorithm clamps
     # and degenerates to brute force under an approximate label); drop such

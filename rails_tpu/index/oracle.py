@@ -18,6 +18,8 @@ from typing import Callable, Optional, Tuple
 
 import numpy as np
 
+from rails_tpu.index.top_k import BUILD_CHUNK
+
 
 def streamed_exact_top_k(
     model,
@@ -28,7 +30,11 @@ def streamed_exact_top_k(
     k: int,
     embed_chunk_fn: Optional[Callable] = None,
     item_ids_full=None,                  # (X,) int32 (device or host)
-    chunk: int = 262_144,
+    # MUST equal the build's chunk_size whenever embed_chunk_fn keys noise
+    # by chunk start (cli/frontier, cli/shard_bench) — a mismatch silently
+    # scores a DIFFERENT corpus than the serving tables (ADVICE r4); callers
+    # pass the shared constant explicitly.
+    chunk: int = BUILD_CHUNK,
     batch_size: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact top-k (scores, item ids) as host numpy arrays.

@@ -162,7 +162,19 @@ def save_serving_state(
 
     total = sum(_nbytes(a) for a in arrays.values())
     if streamed is None:
-        streamed = total > (1 << 30)
+        # Auto-select only single-process: the chunked writes below are not
+        # multi-process safe (every process would w+-truncate the same .npy
+        # files, and slicing a cross-process-sharded Array is not fully
+        # addressable) — ADVICE r4.
+        streamed = total > (1 << 30) and jax.process_count() == 1
+    if streamed and jax.process_count() > 1:
+        raise NotImplementedError(
+            "streamed serving-state save is single-process only: every "
+            "process would truncate/write the same .npy files, and slicing "
+            "a cross-process-sharded jax Array is not fully addressable. "
+            "Gather the state to process 0 (orbax format, streamed=False) "
+            "or save per-process shard states to distinct paths."
+        )
     path = os.path.abspath(path)
 
     if streamed:

@@ -47,6 +47,13 @@ NEG_PAD = -1.0e30
 # multi-million rows (measured, see chunked_top_k docstring).
 _CHUNK_MAX_X = 262_144
 
+# The ONE corpus-chunk size shared by the chunked table builders and the
+# streamed exact oracle. Per-chunk embedding noise keys on the chunk START
+# (`cli/frontier.py` embed_chunk_fn uses PRNGKey(start)), so build and oracle
+# must chunk identically to see identical corpus bits — callers pass this
+# constant explicitly to both (ADVICE r4: two silently-equal defaults).
+BUILD_CHUNK = 262_144
+
 
 def _mask_pad_rows(scores: jnp.ndarray, item_ids: jnp.ndarray) -> jnp.ndarray:
     """Mask scores of padding rows (item id 0) along the trailing corpus axis."""
@@ -200,7 +207,7 @@ def build_fused_state_chunked(
     params,
     item_ids: jnp.ndarray,               # (X,) int32
     embed_chunk_fn,                      # fn(start, ids_chunk) -> (C, D) emb
-    chunk_size: int = 262_144,
+    chunk_size: int = BUILD_CHUNK,
     table_dtype: jnp.dtype = jnp.bfloat16,
     fused_block_x: int = 256,
     keep_on_host: bool = False,
@@ -282,7 +289,7 @@ def build_fused_state_chunked_on_device(
     params,
     item_ids: jnp.ndarray,               # (X,) int32
     embed_chunk_fn,                      # fn(start, ids_chunk) -> (C, D) emb
-    chunk_size: int = 262_144,
+    chunk_size: int = BUILD_CHUNK,
     table_dtype: jnp.dtype = jnp.bfloat16,
     fused_block_x: int = 256,
     quantize: bool = False,
@@ -446,7 +453,14 @@ def hierarchical_top_k(
         return jax.lax.top_k(scores, kk)
     pad = nt * tile - x
     if pad:
-        scores = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=NEG_PAD)
+        # Pad with -inf, strictly below NEG_PAD: real columns (even
+        # pad-id-masked ones) always outrank the hierarchy's own pad columns,
+        # so returned indices are always < x (a NEG_PAD pad could win on a
+        # heavily masked row and its clamped gather would alias the last
+        # real item — ADVICE r4). x >= kk real columns always exist.
+        scores = jnp.pad(
+            scores, ((0, 0), (0, pad)), constant_values=-jnp.inf
+        )
     tiles = scores.reshape(b, nt, tile)
     tile_max = tiles.max(axis=2)                           # (B, nt)
     _, tidx = chunked_top_k(tile_max, kk)                  # (B, kk) tile ids
@@ -623,9 +637,31 @@ class TopKCertificate(NamedTuple):
     gap_bound: jnp.ndarray       # (B,) max(0, ub_unexamined - kth_score)
 
 
+def _table_dtype(state: MoLTopKState) -> jnp.dtype:
+    if state.fused_tables is not None:
+        return jnp.dtype(state.fused_tables.item_comp_t.dtype)
+    return jnp.dtype(state.item_tables.component_embeddings.dtype)
+
+
+# Relative certificate margin per table dtype (margin=None default): the UB
+# prefilter and the exact rerank contract in different orders, so the test
+# `ub <= kth` must absorb a few ULPs of table-dtype rounding or certified=True
+# can be a false positive at the boundary (ADVICE r4). bf16 ULP is 2^-8
+# relative; int8 symmetric quantization adds up to half a step (~2^-8 of the
+# per-item max); f32 tables still differ by contraction order (~2^-20).
+_CERT_REL_MARGIN = {
+    jnp.dtype(jnp.int8): 2.0 ** -6,
+    jnp.dtype(jnp.bfloat16): 2.0 ** -7,
+}
+
+
 def _certificate(
-    ub_unexamined: jnp.ndarray, kth: jnp.ndarray, margin: float
+    ub_unexamined: jnp.ndarray, kth: jnp.ndarray,
+    margin: Optional[float], table_dtype=None,
 ) -> TopKCertificate:
+    if margin is None:
+        rel = _CERT_REL_MARGIN.get(jnp.dtype(table_dtype), 2.0 ** -20)
+        margin = rel * jnp.maximum(jnp.abs(ub_unexamined), jnp.abs(kth))
     return TopKCertificate(
         certified=ub_unexamined + margin <= kth,
         ub_unexamined=ub_unexamined,
@@ -643,7 +679,7 @@ def mol_certified_top_k(
     # Default matches the fused builders' pad multiple (fused_block_x=256):
     # the UB kernel requires block_x | X_padded.
     block_x: int = 256,
-    margin: float = 0.0,
+    margin: Optional[float] = None,
     cand_chunk: Optional[int] = 8192,
 ) -> Tuple[TopKResult, TopKCertificate]:
     """Upper-bound prefilter + exact rerank with a per-query certificate.
@@ -697,7 +733,7 @@ def mol_certified_top_k(
         cand_chunk=cand_chunk,
     )
     kth = res.scores[:, -1]
-    return res, _certificate(spill, kth, margin)
+    return res, _certificate(spill, kth, margin, _table_dtype(state))
 
 
 def mips_brute_force_top_k(
@@ -999,7 +1035,7 @@ def mol_naive_top_k(
     user_ids: Optional[jnp.ndarray] = None,
     corpus_chunk: int = _NAIVE_CORPUS_CHUNK,
     certified: bool = False,
-    margin: float = 0.0,
+    margin: Optional[float] = None,
 ):
     """`certified=True` additionally returns a `TopKCertificate`: every
     non-candidate item's MoL score is bounded by max_l t_l / T where t_l is
@@ -1015,7 +1051,7 @@ def mol_naive_top_k(
     )
     if not certified:
         return res
-    return res, _certificate(bound, res.scores[:, -1], margin)
+    return res, _certificate(bound, res.scores[:, -1], margin, _table_dtype(state))
 
 
 def mol_avg_top_k(
@@ -1045,7 +1081,11 @@ def mol_avg_top_k(
         )
         avg_scores = _mask_pad_rows(avg_scores, state.item_ids)
     with jax.named_scope("avg_topk_selection"):
-        _, cand = jax.lax.top_k(avg_scores, avg_top_k)   # (B, avg_top_k)
+        # chunked_top_k routes multi-M-row corpora through the hierarchical
+        # exact select — the same select the exact fused path uses; a plain
+        # lax.top_k here carried an ~80 ms-class full-row sort at X=4M that
+        # the exact arm no longer pays (r4 frontier asymmetry).
+        _, cand = chunked_top_k(avg_scores, avg_top_k)   # (B, avg_top_k)
     with jax.named_scope("filtered_scoring"):
         comp, gp = _gathered_candidate_tables(state, cand)
         scores = model.apply(
@@ -1069,7 +1109,7 @@ def mol_comb_top_k(
     user_ids: Optional[jnp.ndarray] = None,
     corpus_chunk: int = _NAIVE_CORPUS_CHUNK,
     certified: bool = False,
-    margin: float = 0.0,
+    margin: Optional[float] = None,
 ):
     """Union of Naive per-group and Avg candidates, one rerank
     (`MoLCombTopK.forward`, `mol_top_k.py:467-551`). Budgets clamp to the
@@ -1093,11 +1133,11 @@ def mol_comb_top_k(
         preferred_element_type=jnp.float32,
     )
     avg_scores = _mask_pad_rows(avg_scores, state.item_ids)
-    _, avg_cand = jax.lax.top_k(avg_scores, avg_top_k)
+    _, avg_cand = chunked_top_k(avg_scores, avg_top_k)
     cands = jnp.concatenate([naive, avg_cand], axis=1)
     res = _dedup_rerank_top_k(
         model, params, state, query_embeddings, cands, k, user_ids
     )
     if not certified:
         return res
-    return res, _certificate(bound, res.scores[:, -1], margin)
+    return res, _certificate(bound, res.scores[:, -1], margin, _table_dtype(state))
