@@ -38,6 +38,10 @@ import numpy as np
 DEFAULT_METHODS = (
     "MoLBruteForceTopKFused",
     "MoLBruteForceTopKFusedApprox",
+    "MoLTileTopK4",
+    "MoLTileTopK8",
+    "MoLTileTopK16",
+    "MoLTileTopK32",
     "MoLCertTopK1024",
     "MoLCertTopK4096",
     "MoLCertTopK16384",
@@ -204,31 +208,28 @@ def main(argv=None) -> None:
     oracle_sets = [set(r.tolist()) for r in oracle_i]
     logging.info("exact oracle computed in %.1f s", time.perf_counter() - t0)
 
-    if any(m.startswith("MoLIVF") for m in methods):
-        from rails_tpu.index.ivf import build_ivf_index
+    # HBM phasing: the avg table (X, d_P) bf16 is 2.15 GB at 8M items but
+    # only the Avg/Comb prefilters (and the IVF BUILD — not its queries)
+    # read it. Resident next to the 8.7 GB fused tables it cost the Cert
+    # methods their (B, X) working set (r4/r5 8M sweeps: Cert1024 missed
+    # the 15.75 GB line by ~30 MB). Host-stage it, run the avg-free methods
+    # first, then restore it for the Avg/Comb/IVF phase.
+    avg_host = np.asarray(jax.device_get(state_tk.avg_component))
+    d_avg = state_tk.avg_component.dtype
+    needs_avg = lambda m: m.startswith(("MoLAvg", "MoLComb"))  # noqa: E731
+    is_ivf_m = lambda m: m.startswith("MoLIVF")                # noqa: E731
+    phase1 = [m for m in methods if not (needs_avg(m) or is_ivf_m(m))]
+    phase2 = [m for m in methods if needs_avg(m)]
+    phase3 = [m for m in methods if is_ivf_m(m)]
+    state_tk = state_tk._replace(
+        avg_component=jnp.zeros((0, avg_host.shape[1]), d_avg)
+    )
 
-        nlist = args.ivf_nlist or max(64, int(4 * np.sqrt(x)))
-        t0 = time.perf_counter()
-        # Single-device study: the plain (unsharded) index — the sharded
-        # wrapper layout is only consumable through make_sharded_top_k_fn.
-        ivf = build_ivf_index(
-            state_tk.avg_component, state_tk.item_ids, nlist=nlist,
-            num_iters=args.ivf_iters, chunk=16_384,
-        )
-        ivf_build_s = time.perf_counter() - t0
-        logging.info(
-            "ivf build: nlist=%d cap=%d overflow=%d in %.1f s",
-            ivf.centroids.shape[0], ivf.buckets.shape[1],
-            int(ivf.overflow.shape[0]), ivf_build_s,
-        )
-        state_tk = state_tk._replace(ivf=ivf)
-        rows.append({"method": "ivf_build", "seconds": round(ivf_build_s, 1),
-                     "nlist": int(ivf.centroids.shape[0])})
-
-    for method in methods:
+    def run_method(method):
         name = method + ("Int8" if args.int8 and "Int8" not in method else "")
         raw = get_top_k_raw(method)
         is_cert = method.startswith("MoLCertTopK")
+        is_tile = method.startswith("MoLTileTopK")
 
         @functools.partial(jax.jit, static_argnames=())
         def once(params_, state_, q_, uids_, raw=raw):
@@ -240,22 +241,32 @@ def main(argv=None) -> None:
         except Exception as e:  # noqa: BLE001 — report and continue sweep
             logging.warning("%s failed: %s", name, e)
             rows.append({"method": name, "error": str(e)[:200]})
-            continue
+            return
         recall = float(np.mean([
             len(set(r.tolist()) & oracle_sets[i]) / args.k
             for i, r in enumerate(res_ids)
         ]))
 
         cert_rate = gap_p50 = gap_max = None
-        if is_cert:
-            budget = int(method.replace("MoLCertTopK", "").replace("Int8", ""))
+        if is_cert or is_tile:
+            budget = int(
+                method.replace("MoLCertTopK", "")
+                .replace("MoLTileTopK", "").replace("Int8", "")
+            )
 
             @jax.jit
             def cert_once(params_, state_, q_, uids_, budget=budget):
-                _, cert = tk.mol_certified_top_k(
-                    model, params_, state_, q_, args.k,
-                    cand_budget=budget, user_ids=uids_,
-                )
+                if is_tile:
+                    _, cert = tk.mol_tile_top_k_shared(
+                        model, params_, state_, q_, args.k,
+                        tiles_per_group=budget, user_ids=uids_,
+                        certified=True,
+                    )
+                else:
+                    _, cert = tk.mol_certified_top_k(
+                        model, params_, state_, q_, args.k,
+                        cand_budget=budget, user_ids=uids_,
+                    )
                 return cert
             cert = cert_once(params, state_tk, q, user_ids)
             cert_rate = float(np.mean(np.asarray(cert.certified)))
@@ -296,6 +307,43 @@ def main(argv=None) -> None:
             row["gap_bound_max"] = round(gap_max, 4)
         rows.append(row)
         logging.info("%s", json.dumps(row))
+
+    for method in phase1:
+        run_method(method)
+
+    if phase2 or phase3:
+        state_tk = state_tk._replace(avg_component=jax.device_put(avg_host))
+    for method in phase2:
+        run_method(method)
+
+    if phase3:
+        from rails_tpu.index.ivf import build_ivf_index
+
+        nlist = args.ivf_nlist or max(64, int(4 * np.sqrt(x)))
+        t0 = time.perf_counter()
+        # Single-device study: the plain (unsharded) index — the sharded
+        # wrapper layout is only consumable through make_sharded_top_k_fn.
+        ivf = build_ivf_index(
+            state_tk.avg_component, state_tk.item_ids, nlist=nlist,
+            num_iters=args.ivf_iters, chunk=16_384,
+        )
+        jax.block_until_ready(ivf.buckets)
+        ivf_build_s = time.perf_counter() - t0
+        logging.info(
+            "ivf build: nlist=%d cap=%d overflow=%d in %.1f s",
+            ivf.centroids.shape[0], ivf.buckets.shape[1],
+            int(ivf.overflow.shape[0]), ivf_build_s,
+        )
+        # IVF queries read only the index + rerank tables — drop the avg
+        # table again before the timed sweep (same HBM-phasing argument).
+        state_tk = state_tk._replace(
+            ivf=ivf,
+            avg_component=jnp.zeros((0, avg_host.shape[1]), d_avg),
+        )
+        rows.append({"method": "ivf_build", "seconds": round(ivf_build_s, 1),
+                     "nlist": int(ivf.centroids.shape[0])})
+    for method in phase3:
+        run_method(method)
 
     summary = {
         "metric": "frontier",

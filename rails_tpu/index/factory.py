@@ -122,6 +122,21 @@ def get_top_k_raw(top_k_method: str):
             return res
         return raw
 
+    # Tile-granular Naive with per-group certificates, batch-shared tile
+    # set + prefetched-tile scoring (`tk.mol_tile_top_k_shared`; the
+    # per-query-gather variant is `tk.mol_tile_top_k`). Same certificate
+    # convention as MoLCertTopK: the raw fn returns the TopKResult alone;
+    # callers wanting the TopKCertificate pass certified=True directly.
+    m = re.fullmatch(r"MoLTileTopK(\d+)(?:Int8)?", top_k_method)
+    if m:
+        tiles_per_group = int(m.group(1))
+        def raw(model, params, state, q, k, user_ids=None, item_embeddings=None):
+            return tk.mol_tile_top_k_shared(
+                model, params, state, q, k,
+                tiles_per_group=tiles_per_group, user_ids=user_ids,
+            )
+        return raw
+
     raise ValueError(f"Unknown top_k_method {top_k_method!r}")
 
 
@@ -143,6 +158,9 @@ def parse_top_k_budgets(top_k_method: str) -> dict:
     m = re.fullmatch(r"MoLCertTopK(\d+)(?:Int8)?", top_k_method)
     if m:
         return {"cand_budget": int(m.group(1))}
+    m = re.fullmatch(r"MoLTileTopK(\d+)(?:Int8)?", top_k_method)
+    if m:
+        return {"tiles_per_group": int(m.group(1))}
     return {}
 
 

@@ -27,8 +27,10 @@ from rails_tpu.index.top_k import (
     TopKResult,
     mol_avg_top_k,
     mol_brute_force_top_k,
+    mol_certified_top_k,
     mol_comb_top_k,
     mol_naive_top_k,
+    mol_tile_top_k_shared,
 )
 from rails_tpu.similarity.mol import MoLItemTables
 
@@ -220,6 +222,21 @@ def make_sharded_top_k_fn(
                 model, params_, state_l, q, k_local,
                 avg_top_k=min(avg_top_k, x_local),
                 k_per_group=min(k_per_group, x_local), user_ids=user_ids,
+            )
+        elif top_k_method.startswith("MoLCertTopK"):
+            # Per-shard UB prefilter + exact rerank; the merge is top-k of
+            # certified-per-shard lists (each shard spends the full budget
+            # locally — same recall-dominance argument as Naive/Avg).
+            res, _ = mol_certified_top_k(
+                model, params_, state_l, q, k_local,
+                cand_budget=min(budgets["cand_budget"], x_local),
+                user_ids=user_ids,
+            )
+        elif top_k_method.startswith("MoLTileTopK"):
+            res = mol_tile_top_k_shared(
+                model, params_, state_l, q, k_local,
+                tiles_per_group=budgets["tiles_per_group"],
+                user_ids=user_ids,
             )
         elif top_k_method.startswith("MoLIVF"):
             import re as _re

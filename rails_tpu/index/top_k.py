@@ -736,6 +736,258 @@ def mol_certified_top_k(
     return res, _certificate(spill, kth, margin, _table_dtype(state))
 
 
+def mol_tile_top_k(
+    model, params, state: MoLTopKState,
+    query_embeddings: jnp.ndarray,            # (B, D)
+    k: int,
+    tiles_per_group: int,
+    user_ids: Optional[jnp.ndarray] = None,
+    block_x: int = 256,
+    margin: Optional[float] = None,
+    cand_chunk: Optional[int] = 8192,
+    certified: bool = False,
+):
+    """Tile-granular Naive: per-group top tiles by block-max logit, exact
+    rerank of the tile union, with Naive-grade per-group certificates — at
+    fused-kernel (MXU-only) prefilter cost.
+
+    One Pallas pass (`fused_mol_group_block_max`) computes, per component
+    group l and per `block_x`-item corpus block, the maximum logit_l/T in
+    the block. Per group, the top `tiles_per_group` blocks are selected;
+    the candidate set is the union of the selected blocks' items (whole
+    tiles — contiguous gathers), exact-MoL reranked.
+
+    SOUNDNESS of the certificate (certified=True): let t_l be the
+    tiles_per_group-th largest block max for group l. An item in no
+    selected tile of group l sits in a block whose max_l <= t_l, so its
+    logit_l <= t_l; an item examined by NO group therefore has
+    score <= max_l logit_l <= max_l t_l — per-GROUP thresholds, the bound
+    class of the certified Naive path (`_naive_candidates`), not the
+    global max-logit spill (which provably equals the scalar-UB bound:
+    max_l max_{x unexamined} logit_l(x) = max_{x} max_l — the orders
+    commute, so tightening REQUIRES per-group candidate lists).
+
+    vs the exact fused path: the prefilter runs the component matmuls only
+    (~1/3 of the fused kernel's MXU FLOPs, none of its gating-chain VPU
+    work) and selects over (B*L, X/block_x) instead of (B, X) — the
+    gating/combine chain (the binding resource at multi-M corpora,
+    docs/STATUS.md r4) is paid only on the ~L*tiles_per_group*block_x
+    candidates. Zero-logit corpus pad rows may raise block maxima; that
+    only loosens (never unsounds) the bound, and pad candidates are masked
+    in the rerank.
+
+    Reference slot: the FAISS per-group ANN union (`mol_top_k.py:176-201`)
+    — redesigned block-granular so the "index" is a streaming kernel
+    statistic instead of a built structure, and bound-carrying (the
+    reference is bound-free; BASELINE.json names the error-bound rerank).
+    """
+    from rails_tpu.ops.pallas.mol_scoring import fused_mol_group_block_max
+
+    ft = state.fused_tables
+    assert ft is not None, (
+        "mol_tile_top_k reads the fused kernel-layout tables "
+        "(build_mol_topk_state(..., build_fused=True))"
+    )
+    q_comp = model.apply(
+        params, query_embeddings, user_ids, method=model.query_components
+    )
+    q_dtype = (
+        jnp.bfloat16 if ft.item_comp_t.dtype == jnp.int8
+        else ft.item_comp_t.dtype
+    )
+    gmax = fused_mol_group_block_max(
+        q_comp.astype(q_dtype), ft.item_comp_t,
+        float(_mol_cfg(model).temperature), block_x=block_x,
+        comp_scale=ft.comp_scale,
+    )                                          # (B, L, NB)
+    b, l, nb = gmax.shape
+    kk = min(tiles_per_group, nb)
+    with jax.named_scope("tile_selection"):
+        tv, tidx = chunked_top_k(gmax.reshape(b * l, nb), kk)
+        tidx = tidx.reshape(b, l * kk)
+    if kk >= nb:
+        # Full tile coverage: nothing unexamined.
+        bound = jnp.full((b,), NEG_PAD, jnp.float32)
+    else:
+        # max over groups of each group's kk-th block max.
+        bound = jnp.max(tv.reshape(b, l, kk)[:, :, -1], axis=1)
+    with jax.named_scope("tile_expand"):
+        # Tile-level dedup (L*kk tile ids per query — a cheap sort), then
+        # expand to item columns; duplicate tiles mask whole-tile.
+        tiles_sorted = jnp.sort(tidx, axis=1)
+        tile_first = jnp.concatenate(
+            [
+                jnp.ones_like(tiles_sorted[:, :1], dtype=bool),
+                tiles_sorted[:, 1:] != tiles_sorted[:, :-1],
+            ],
+            axis=1,
+        )
+        cand = (
+            tiles_sorted[:, :, None] * block_x
+            + jnp.arange(block_x, dtype=tiles_sorted.dtype)[None, None, :]
+        ).reshape(b, -1)
+        is_first = jnp.broadcast_to(
+            tile_first[:, :, None], (b, tile_first.shape[1], block_x)
+        ).reshape(b, -1)
+        # Kernel-pad columns beyond the id table (standard-layout states
+        # keep unpadded item_ids): clamp the gather, mask the candidate.
+        x_ids = state.item_ids.shape[0]
+        if nb * block_x > x_ids:
+            is_first = is_first & (cand < x_ids)
+            cand = jnp.minimum(cand, x_ids - 1)
+    res = dedup_rerank_top_k(
+        model, params, state, query_embeddings, cand, k, user_ids,
+        cand_chunk=cand_chunk, is_first=is_first,
+    )
+    if not certified:
+        return res
+    return res, _certificate(
+        bound, res.scores[:, -1], margin, _table_dtype(state)
+    )
+
+
+def mol_tile_top_k_shared(
+    model, params, state: MoLTopKState,
+    query_embeddings: jnp.ndarray,            # (B, D)
+    k: int,
+    tiles_per_group: int,
+    user_ids: Optional[jnp.ndarray] = None,
+    block_x: int = 256,
+    tile_budget: Optional[int] = None,
+    margin: Optional[float] = None,
+    certified: bool = False,
+):
+    """Batch-shared tile retrieval: per-(query, group) top tiles by block-max
+    logit, ONE shared tile set for the whole batch, scored in place by the
+    prefetched-tile fused kernel — the scale-robust form of `mol_tile_top_k`.
+
+    Pipeline:
+      1. `fused_mol_group_block_max` -> gmax (B, L, X/block_x): per-group
+         block maxima, component matmuls only (MXU work, no gating chain).
+      2. Every (query, group) nominates its top `tiles_per_group` blocks;
+         the nominations are deduplicated into one shared tile list of
+         static size T = `tile_budget` (default: all B*L*tiles_per_group
+         nominations, i.e. guaranteed coverage of every nomination; smaller
+         budgets keep the highest-block-max distinct tiles and pad slots
+         with duplicates, which are masked).
+      3. `fused_mol_scores_tiles` exact-MoL-scores the selected tiles for
+         ALL queries, DMA-ing the blocks straight from the native-layout
+         tables (nothing is gathered in HBM — a scattered gather would
+         force a full X-major layout copy of the table; see that kernel's
+         docstring). Scoring the shared superset instead of per-query
+         unions only ADDS examined items per query.
+      4. Per-query top-k over the (B, T*block_x) tile scores.
+
+    SOUNDNESS of the certificate (certified=True): an item in NO selected
+    tile sits, for every group l, in a block whose max_l was not selected,
+    so its logit_l <= that block's max_l; its MoL score (a softmax mixture)
+    is <= max_l logit_l <= max over UNSELECTED tiles of gmax[b, :, :] —
+    computed per query by masking the selected tiles out of gmax. With the
+    default full-coverage budget this equals the per-(query, group)
+    threshold bound of the per-query variant; any smaller budget only
+    loosens (never unsounds) it. Corpus pad columns (zero tables, logit 0)
+    can only raise the bound; pad candidates are masked in the scores.
+
+    vs exact fused brute force: the gating/combine chain (the binding
+    resource at multi-M corpora, docs/STATUS.md r4) runs on T*block_x
+    columns instead of X; the prefilter pays component matmuls over X but
+    none of the VPU chain, and selects over (B*L, X/block_x) instead of
+    (B, X). Reference slot: the per-group FAISS ANN union
+    (`mol_top_k.py:176-201`), redesigned block-granular, batch-shared, and
+    bound-carrying."""
+    from rails_tpu.ops.pallas.mol_scoring import (
+        extract_gating_qi_weights,
+        fused_mol_group_block_max,
+        fused_mol_scores_tiles,
+    )
+
+    ft = state.fused_tables
+    assert ft is not None, (
+        "mol_tile_top_k_shared reads the fused kernel-layout tables "
+        "(build_mol_topk_state(..., build_fused=True))"
+    )
+    q_comp = model.apply(
+        params, query_embeddings, user_ids, method=model.query_components
+    )
+    qp = model.apply(
+        params, query_embeddings, method=model.query_gating_partial
+    )
+    weights = extract_gating_qi_weights(params)
+    q_dtype = (
+        jnp.bfloat16 if ft.item_comp_t.dtype == jnp.int8
+        else ft.item_comp_t.dtype
+    )
+    temperature = float(_mol_cfg(model).temperature)
+    gmax = fused_mol_group_block_max(
+        q_comp.astype(q_dtype), ft.item_comp_t, temperature,
+        block_x=block_x, comp_scale=ft.comp_scale,
+    )                                          # (B, L, NB)
+    b, l, nb = gmax.shape
+    kk = min(tiles_per_group, nb)
+    with jax.named_scope("tile_selection"):
+        tv, tidx = chunked_top_k(gmax.reshape(b * l, nb), kk)
+        all_tiles = tidx.reshape(-1)           # (B*L*kk,)
+        all_vals = tv.reshape(-1)
+        order = jnp.argsort(all_tiles)
+        sorted_tiles = all_tiles[order]
+        first = jnp.concatenate(
+            [
+                jnp.ones((1,), bool),
+                sorted_tiles[1:] != sorted_tiles[:-1],
+            ]
+        )
+        n_all = sorted_tiles.shape[0]
+        t = min(tile_budget or n_all, n_all)
+        if t < n_all:
+            # Keep the highest-block-max distinct tiles; duplicate slots
+            # (first=False) rank below every distinct tile and are masked.
+            seg = jax.ops.segment_max(
+                all_vals, all_tiles, num_segments=nb
+            )
+            key = jnp.where(first, seg[sorted_tiles], NEG_PAD)
+            _, pos = jax.lax.top_k(key, t)
+            sel_tiles = sorted_tiles[pos]
+            sel_first = first[pos]
+        else:
+            sel_tiles = sorted_tiles
+            sel_first = first
+    if certified:
+        covered = (
+            jnp.zeros((nb,), bool)
+            .at[jnp.where(sel_first, sel_tiles, nb)]
+            .set(True, mode="drop")
+        )
+        bound = jnp.max(
+            jnp.where(covered[None, None, :], NEG_PAD, gmax), axis=(1, 2)
+        )
+    with jax.named_scope("tile_scoring"):
+        scores = fused_mol_scores_tiles(
+            q_comp.astype(q_dtype), qp, sel_tiles,
+            ft.item_comp_t, ft.item_partial_t, weights, temperature,
+            block_x=block_x,
+            comp_scale=ft.comp_scale, partial_scale=ft.partial_scale,
+        )                                      # (B, T*block_x)
+    cols = (
+        sel_tiles[:, None].astype(jnp.int32) * block_x
+        + jnp.arange(block_x, dtype=jnp.int32)[None, :]
+    ).reshape(-1)                              # (T*block_x,)
+    valid = (
+        jnp.broadcast_to(sel_first[:, None], (t, block_x)).reshape(-1)
+        & (cols < ft.num_items)
+    )
+    ids_flat = state.item_ids[jnp.minimum(cols, ft.num_items - 1)]
+    scores = jnp.where(valid[None, :], scores, NEG_DUP)
+    scores = _mask_pad_rows(scores, ids_flat)
+    with jax.named_scope("final_topk"):
+        top_scores, pos = chunked_top_k(scores, min(k, scores.shape[1]))
+    res = TopKResult(scores=top_scores, ids=ids_flat[pos])
+    if not certified:
+        return res
+    return res, _certificate(
+        bound, res.scores[:, -1], margin, _table_dtype(state)
+    )
+
+
 def mips_brute_force_top_k(
     item_ids: jnp.ndarray,                    # (X,)
     item_embeddings: jnp.ndarray,             # (X, D)
@@ -811,6 +1063,7 @@ def dedup_rerank_top_k(
     k: int,
     user_ids: Optional[jnp.ndarray],
     cand_chunk: Optional[int] = None,
+    is_first: Optional[jnp.ndarray] = None,
 ) -> TopKResult:
     """Sort candidates, mask duplicates, exact-MoL rerank, final top-k.
 
@@ -822,15 +1075,24 @@ def dedup_rerank_top_k(
     at (B, cand_chunk, P_X, d_P) regardless of the probe budget. The
     duplicate mask is computed once over the globally sorted pool, so
     chunking never double-counts across boundaries.
+
+    `is_first` given: `candidate_indices` is taken as-is (the caller
+    already deduplicated — exactly one True per distinct REAL candidate;
+    False entries score NEG_DUP). Skips the per-item sort, which at
+    tile-expanded pools (mol_tile_top_k: tens of thousands of columns)
+    would cost more than the rerank itself.
     """
-    sorted_idx = jnp.sort(candidate_indices, axis=1)
-    is_first = jnp.concatenate(
-        [
-            jnp.ones_like(sorted_idx[:, :1], dtype=bool),
-            sorted_idx[:, 1:] != sorted_idx[:, :-1],
-        ],
-        axis=1,
-    )
+    if is_first is not None:
+        sorted_idx = candidate_indices
+    else:
+        sorted_idx = jnp.sort(candidate_indices, axis=1)
+        is_first = jnp.concatenate(
+            [
+                jnp.ones_like(sorted_idx[:, :1], dtype=bool),
+                sorted_idx[:, 1:] != sorted_idx[:, :-1],
+            ],
+            axis=1,
+        )
     b, c = sorted_idx.shape
     if cand_chunk is None or c <= cand_chunk:
         comp, gp = _gathered_candidate_tables(state, sorted_idx)

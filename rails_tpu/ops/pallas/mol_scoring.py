@@ -176,6 +176,155 @@ def _ub_kernel(
     out_ref[:] = ub * inv_temperature
 
 
+def _group_block_max_kernel(
+    q_ref,        # (P_Q, B, d_P)
+    item_ref,     # (P_X, d_P, TX)
+    *refs,        # [comp_scale (P_X, TX)]? out (1, L, B)
+    p_q: int,
+    p_x: int,
+    inv_temperature: float,
+    mlp_dtype,
+    quantized: bool = False,
+):
+    """Per-(query, component-group) max logit over one corpus block:
+    out[0, l, b] = max_{x in block} <q_n(l), x_m(l)> / T, rows in the
+    kernel's m-major logit order (l = m*P_Q + n). Component matmuls only —
+    none of the gating chain's VPU/transcendental cost — so the pass runs
+    at the MXU roofline while exposing PER-GROUP structure the scalar UB
+    kernel (`_ub_kernel`) collapses away."""
+    if quantized:
+        cs_ref, out_ref = refs
+    else:
+        (out_ref,) = refs
+        cs_ref = None
+    b = q_ref.shape[1]
+    d_p = q_ref.shape[2]
+    tx = item_ref.shape[2]
+    q_flat = q_ref[:].reshape(p_q * b, d_p)
+    for m in range(p_x):
+        im = item_ref[m]
+        if quantized:
+            im = im.astype(mlp_dtype)
+        raw = jnp.dot(q_flat, im, preferred_element_type=jnp.float32)
+        if quantized:
+            raw = raw * cs_ref[m][None, :].astype(jnp.float32)
+        out_ref[0, m * p_q : (m + 1) * p_q, :] = (
+            jnp.max(raw.reshape(p_q, b, tx), axis=2) * inv_temperature
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("temperature", "block_x", "block_b", "interpret"),
+)
+def fused_mol_group_block_max(
+    q_comp: jnp.ndarray,          # (B, P_Q, d_P)
+    item_comp_t: jnp.ndarray,     # (P_X, d_P, X) — kernel layout, X padded
+    temperature: float,
+    block_x: int = 256,
+    block_b: int = 32,
+    interpret: Optional[bool] = None,
+    comp_scale: Optional[jnp.ndarray] = None,      # (P_X, X), int8 tables
+) -> jnp.ndarray:
+    """(B, L, X/block_x) per-group per-corpus-block logit maxima.
+
+    The tile-granular Naive statistic (`rails_tpu/index/top_k.py
+    mol_tile_top_k`): for every component group l and every block of
+    `block_x` items, the maximum logit_l/T in that block. Unlike the
+    (B, X) UB row this is X/block_x * L values — 8x smaller at L=32,
+    block_x=256 — and it carries the per-group thresholds that make
+    Naive-grade certificates possible at fused-kernel speed (the global
+    max-logit bound provably reduces to the UB spill — per-group bounds
+    need per-group lists; see mol_tile_top_k's soundness argument).
+
+    Output rows are in the kernel's m-major order; consumers only reduce
+    or select over l, so the order is an internal detail.
+
+    The whole (padded) batch rides one grid step — the out block is
+    (1, L, B) (Mosaic requires trailing block dims divisible by (8, 128)
+    OR equal to the array dims, and per-corpus-block maxima are far
+    smaller than either threshold); batches beyond `_MAX_B` (VMEM-bounded)
+    process in chunks outside the kernel."""
+    assert temperature > 0, "requires a positive MoL temperature"
+    del block_b   # kept for API compatibility; the batch is one block
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, p_q, d_p = q_comp.shape
+    p_x, _, x = item_comp_t.shape
+    l = p_q * p_x
+    _MAX_B = 256   # raw (P_Q*B, block_x) f32 VMEM slab ~2 MB per group
+    if b > _MAX_B:
+        return jnp.concatenate(
+            [
+                fused_mol_group_block_max(
+                    q_comp[s : s + _MAX_B], item_comp_t, temperature,
+                    block_x=block_x, interpret=interpret,
+                    comp_scale=comp_scale,
+                )
+                for s in range(0, b, _MAX_B)
+            ],
+            axis=0,
+        )
+    quantized = item_comp_t.dtype == jnp.int8
+    if quantized:
+        assert comp_scale is not None, "int8 tables need comp_scale"
+    mlp_dtype = (
+        jnp.bfloat16
+        if item_comp_t.dtype in (jnp.bfloat16, jnp.int8)
+        else jnp.float32
+    )
+    assert x % block_x == 0, f"X={x} not a multiple of block_x={block_x}"
+    assert l % 8 == 0, f"L={l} must be a sublane multiple"
+    pad_b = (-b) % 8
+    qT = jnp.transpose(q_comp, (1, 0, 2))
+    if pad_b:
+        qT = jnp.pad(qT, ((0, 0), (0, pad_b), (0, 0)))
+    bp = b + pad_b
+    nb = x // block_x
+    grid = (nb,)
+    kernel = functools.partial(
+        _group_block_max_kernel, p_q=p_q, p_x=p_x,
+        inv_temperature=1.0 / temperature,
+        mlp_dtype=mlp_dtype, quantized=quantized,
+    )
+    in_specs = [
+        pl.BlockSpec((p_q, bp, d_p), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((p_x, d_p, block_x), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [qT, item_comp_t]
+    if quantized:
+        in_specs.append(
+            pl.BlockSpec((p_x, block_x), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(comp_scale)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, l, bp), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb, l, bp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * x * p_q * p_x * d_p,
+            bytes_accessed=(
+                item_comp_t.size * item_comp_t.dtype.itemsize
+                + nb * l * bp * 4
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    return jnp.transpose(out, (2, 1, 0))[:b]   # (B, L, NB)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("temperature", "block_x", "block_b", "interpret"),
@@ -512,6 +661,140 @@ def fused_mol_scores_t(
         ),
         interpret=interpret,
     )(*args)
+    return out[:b]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("temperature", "block_x", "block_b", "interpret"),
+)
+def fused_mol_scores_tiles(
+    q_comp: jnp.ndarray,          # (B, P_Q, d_P)
+    query_partial: jnp.ndarray,   # (B, L)
+    tile_ids: jnp.ndarray,        # (T,) int32 — block indices into X/block_x
+    item_comp_t: jnp.ndarray,     # (P_X, d_P, X) — kernel layout, X padded
+    item_partial_t: jnp.ndarray,  # (L, X)
+    weights: MoLKernelWeights,
+    temperature: float,
+    block_x: int = 256,
+    block_b: int = 32,
+    interpret: Optional[bool] = None,
+    comp_scale: Optional[jnp.ndarray] = None,      # (P_X, X), int8 tables
+    partial_scale: Optional[jnp.ndarray] = None,   # (1, X), int8 tables
+) -> jnp.ndarray:
+    """(B, T*block_x) MoL scores of the selected corpus tiles only.
+
+    Same kernel body as `fused_mol_scores_t`, but the corpus grid dimension
+    walks `tile_ids` instead of 0..X/block_x: the item-table BlockSpec index
+    maps read the tile id from a scalar-prefetch ref, so the kernel DMAs
+    exactly the selected (p_x, d_p, block_x) blocks straight out of the
+    NATIVE kernel-layout table. Nothing is gathered in HBM — the gathered
+    sub-corpus never exists as a tensor.
+
+    This is the scale-robust rerank primitive: a scattered `jnp.take` along
+    the item axis of the kernel layout makes XLA materialize a full X-major
+    layout copy of the table (measured: `copy.43`, 7.63 GB at 8M items —
+    the r4 frontier's 12/14-method OOM), while block-granular prefetched
+    DMAs read the original bytes. Duplicate tile ids are allowed (the block
+    is simply fetched again); callers mask duplicate slots in the result.
+
+    Output column s*block_x + j is corpus column tile_ids[s]*block_x + j.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, p_q, d_p = q_comp.shape
+    p_x, _, x = item_comp_t.shape
+    (t,) = tile_ids.shape
+    l = p_q * p_x
+    h = weights.w1.shape[1]
+    quantized = item_comp_t.dtype == jnp.int8
+    if quantized:
+        assert comp_scale is not None and partial_scale is not None, (
+            "int8 tables need comp_scale/partial_scale"
+        )
+    mlp_dtype = (
+        jnp.bfloat16
+        if item_comp_t.dtype in (jnp.bfloat16, jnp.int8)
+        else jnp.float32
+    )
+    assert x % block_x == 0, f"X={x} not a multiple of block_x={block_x}"
+    assert weights.w1.shape[0] == l and weights.w2.shape == (h, l)
+    block_b = min(block_b, b)
+    pad_b = (-b) % block_b
+    perm = m_major_perm(p_q, p_x)
+    qT = jnp.transpose(q_comp, (1, 0, 2))
+    qpT = query_partial[:, perm]
+    w1p = weights.w1[perm]
+    w2p = weights.w2[:, perm]
+    b2p = weights.b2[:, perm]
+    if pad_b:
+        qT = jnp.pad(qT, ((0, 0), (0, pad_b), (0, 0)))
+        qpT = jnp.pad(qpT, ((0, pad_b), (0, 0)))
+    bp = b + pad_b
+
+    grid = (bp // block_b, t)
+    base_kernel = functools.partial(
+        _kernel, p_q=p_q, p_x=p_x, inv_temperature=1.0 / temperature,
+        mlp_dtype=mlp_dtype, quantized=quantized,
+    )
+
+    def kernel(tile_ref, *refs):   # leading scalar-prefetch ref, unused here
+        del tile_ref
+        base_kernel(*refs)
+
+    in_specs = [
+        pl.BlockSpec((p_q, block_b, d_p), lambda j, i, tr: (0, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_b, l), lambda j, i, tr: (j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((p_x, d_p, block_x), lambda j, i, tr: (0, 0, tr[i]),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((l, block_x), lambda j, i, tr: (0, tr[i]),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((l, h), lambda j, i, tr: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h), lambda j, i, tr: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, l), lambda j, i, tr: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, l), lambda j, i, tr: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [qT, qpT, item_comp_t, item_partial_t, w1p, weights.b1, w2p, b2p]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((p_x, block_x), lambda j, i, tr: (0, tr[i]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_x), lambda j, i, tr: (0, tr[i]),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [comp_scale, partial_scale]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_b, block_x), lambda j, i, tr: (j, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((l, block_b, block_x), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bp, t * block_x), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t * block_x * l * (d_p + 2 * h),
+            bytes_accessed=(
+                (p_x * d_p + l) * t * block_x
+                * item_comp_t.dtype.itemsize * (bp // block_b)
+                + b * t * block_x * 4
+            ),
+            transcendentals=b * t * block_x * l * 2,
+        ),
+        interpret=interpret,
+    )(tile_ids.astype(jnp.int32), *args)
     return out[:b]
 
 

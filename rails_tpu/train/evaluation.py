@@ -101,10 +101,12 @@ def get_eval_state(
     else:
         state = build_mol_topk_state(
             model, params, ids, item_emb, table_dtype=table_dtype,
-            # The certified UB prefilter reads the fused kernel layout too.
+            # The certified UB / tile block-max prefilters read the fused
+            # kernel layout too.
             build_fused=(
                 "Fused" in top_k_method
                 or top_k_method.startswith("MoLCertTopK")
+                or top_k_method.startswith("MoLTileTopK")
             ),
             quantize_fused="Int8" in top_k_method,
         )
