@@ -27,7 +27,7 @@ CONFIGURED_ALGORITHMS: Dict[str, List[str]] = {
         "MoLNaiveTopK5", "MoLNaiveTopK10", "MoLNaiveTopK50", "MoLNaiveTopK100",
         "MoLAvgTopK200", "MoLAvgTopK500", "MoLAvgTopK1000",
         "MoLCombTopK5_200", "MoLCombTopK50_500", "MoLCombTopK100_1000",
-        "MoLIVFTopK8",
+        "MoLIVFTopK8", "MoLTileTopK8",
     ],
     "ml-20m": [
         "MoLBruteForceTopK",
@@ -36,7 +36,7 @@ CONFIGURED_ALGORITHMS: Dict[str, List[str]] = {
         "MoLNaiveTopK5", "MoLNaiveTopK10", "MoLNaiveTopK50", "MoLNaiveTopK100",
         "MoLAvgTopK200", "MoLAvgTopK500", "MoLAvgTopK1000", "MoLAvgTopK2000",
         "MoLCombTopK5_200", "MoLCombTopK50_500", "MoLCombTopK100_1000",
-        "MoLIVFTopK16",
+        "MoLIVFTopK16", "MoLTileTopK8",
     ],
     "amzn-books": [
         "MoLBruteForceTopK",
@@ -45,7 +45,7 @@ CONFIGURED_ALGORITHMS: Dict[str, List[str]] = {
         "MoLNaiveTopK5", "MoLNaiveTopK10", "MoLNaiveTopK50",
         "MoLAvgTopK500", "MoLAvgTopK1000", "MoLAvgTopK2000", "MoLAvgTopK4000",
         "MoLCombTopK5_200", "MoLCombTopK50_500", "MoLCombTopK100_1000",
-        "MoLIVFTopK16",
+        "MoLIVFTopK16", "MoLTileTopK8",
     ],
     "synthetic": [
         "MoLBruteForceTopK",
@@ -54,7 +54,7 @@ CONFIGURED_ALGORITHMS: Dict[str, List[str]] = {
         "MoLNaiveTopK10", "MoLNaiveTopK50",
         "MoLAvgTopK200", "MoLAvgTopK500",
         "MoLCombTopK10_200",
-        "MoLIVFTopK4",
+        "MoLIVFTopK4", "MoLTileTopK4",
     ],
 }
 

@@ -39,25 +39,30 @@ def _kernel(bounds_ref, ids_hbm, rows_hbm, out_ref, ids_vmem, rows_vmem,
     lo = bounds_ref[b]
     hi = bounds_ref[b + 1]
     out_ref[...] = jnp.zeros_like(out_ref)
-    nchunks = (hi - lo + chunk - 1) // chunk
+    # DMA offsets must be PROVABLY tiling-aligned (Mosaic rejects a
+    # data-dependent lane offset: "Failed to prove that a tile index in
+    # dimension 1 is divisible by the tiling (128)"). Walk chunk-ALIGNED
+    # windows covering [lo, hi) — (lo // chunk) * chunk is divisible by
+    # chunk (a 128-multiple) by construction, and m_pad is a chunk
+    # multiple so every window is in bounds; the `pos` mask drops the
+    # under/overhang.
+    c0 = (lo // chunk) * chunk
+    nchunks = (hi - c0 + chunk - 1) // chunk
 
     def body(ci, carry):
-        j0 = lo + ci * chunk
-        # Clamp so the fixed-size slice stays in bounds; the `pos >= j0`
-        # mask below drops the overlap this introduces.
-        j0c = jnp.minimum(j0, m_pad - chunk)
+        j0 = c0 + ci * chunk
         cp_ids = pltpu.make_async_copy(
-            ids_hbm.at[:, pl.ds(j0c, chunk)], ids_vmem, sems.at[0]
+            ids_hbm.at[:, pl.ds(j0, chunk)], ids_vmem, sems.at[0]
         )
         cp_rows = pltpu.make_async_copy(
-            rows_hbm.at[pl.ds(j0c, chunk), :], rows_vmem, sems.at[1]
+            rows_hbm.at[pl.ds(j0, chunk), :], rows_vmem, sems.at[1]
         )
         cp_ids.start()
         cp_rows.start()
         cp_ids.wait()
         ids_c = ids_vmem[...]                                  # (1, C)
-        pos = j0c + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-        valid = (pos >= j0) & (pos < hi)
+        pos = j0 + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        valid = (pos >= lo) & (pos < hi)
         # Invalid slots map to row `block_rows`, which no one-hot lane
         # matches -> zero contribution.
         local = jnp.where(valid, ids_c - base, block_rows)
@@ -98,6 +103,42 @@ def scatter_add_rows(
     d = rows.shape[-1]
     m = ids.size
     assert rows.size == m * d, (ids.shape, rows.shape)
+    if d < 128 and num_rows > 1:
+        # Lane-pack narrow tables: Mosaic rejects sub-128-lane HBM row
+        # slices ("Slice shape along dimension 1 must be aligned to tiling
+        # (128), but is 64" — the Books D=64 table, docs/STATUS.md r4).
+        # View the (num_rows, d) table as (ceil(num_rows/pack), 128) with
+        # pack = 128/d_pad consecutive rows per lane-row (d_pad = next
+        # power of two >= d; the pad lanes stay zero): update row i
+        # scatters into packed row i // pack at lane group i % pack. Same
+        # fp32 accumulation (disjoint lane groups never collide; duplicates
+        # of one id still sum), and the kernel runs FULL-lane. This is the
+        # fused_adamw (n/128, 128) reshape trick applied to the scatter.
+        d_pad = 1 << (d - 1).bit_length()
+        pack = 128 // d_pad
+        ids_p = ids.reshape(-1).astype(jnp.int32)
+        ids_p = jnp.where(ids_p < 0, ids_p + num_rows, ids_p)
+        valid = (ids_p >= 0) & (ids_p < num_rows)
+        rows_p = rows.reshape(m, d)
+        if d_pad != d:
+            rows_p = jnp.pad(rows_p, ((0, 0), (0, d_pad - d)))
+        slot = ids_p % pack
+        lane_grp = jnp.arange(128, dtype=jnp.int32) // d_pad
+        rows128 = jnp.where(
+            lane_grp[None, :] == slot[:, None],
+            jnp.tile(rows_p, (1, pack)),
+            jnp.zeros((), rows_p.dtype),
+        )
+        n128 = -(-num_rows // pack)
+        out = scatter_add_rows(
+            jnp.where(valid, ids_p // pack, n128), rows128, n128,
+            block_rows=block_rows, chunk=chunk, interpret=interpret,
+            out_dtype=jnp.float32,
+        )
+        out = out.reshape(n128 * pack, d_pad)[:num_rows]
+        if d_pad != d:
+            out = out[:, :d]
+        return out.astype(out_dtype)
     ids_f = ids.reshape(-1).astype(jnp.int32)
     rows_f = rows.reshape(m, d)
     nb = -(-num_rows // block_rows)
@@ -113,7 +154,8 @@ def scatter_add_rows(
     # rows, which the partial-block writeback masks off. Remap ids >=
     # the padded extent to the sentinel so they can't alias a real block.
     ids_s = jnp.where(ids_s >= sentinel, sentinel, ids_s)
-    m_pad = max(chunk, m)
+    # A chunk multiple, so every chunk-aligned DMA window is in bounds.
+    m_pad = -(-max(chunk, m) // chunk) * chunk
     if m_pad > m:
         ids_s = jnp.concatenate(
             [ids_s, jnp.full((m_pad - m,), sentinel, jnp.int32)]
