@@ -326,6 +326,7 @@ def main(argv=None) -> None:
         ivf = build_ivf_index(
             state_tk.avg_component, state_tk.item_ids, nlist=nlist,
             num_iters=args.ivf_iters, chunk=16_384,
+            mol_state=state_tk,
         )
         jax.block_until_ready(ivf.buckets)
         ivf_build_s = time.perf_counter() - t0

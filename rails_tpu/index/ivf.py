@@ -59,6 +59,14 @@ class IVFIndex(NamedTuple):
     centroids: jnp.ndarray   # (nlist, d) fp32
     buckets: jnp.ndarray     # (nlist, cap) int32 corpus positions
     overflow: jnp.ndarray    # (O,) int32 corpus positions (O may be 0)
+    # MoL-aware probe ranking (optional): per-cluster means of the MEMBER
+    # items' component embeddings / gating partials (n-major logit order).
+    # When present, `ivf_candidates` ranks probes by the EXACT MoL score of
+    # each cluster's centroid tables — gating included — instead of the
+    # avg-embedding dot product, which is blind to the trained gating and
+    # capped recall at 0.46 on overlapping clusters (docs/STATUS.md r4).
+    comp_centroids: Optional[jnp.ndarray] = None    # (nlist, P_X, d_P) f32
+    gating_centroids: Optional[jnp.ndarray] = None  # (nlist, L) f32
 
 
 def _round_up(x: int, m: int) -> int:
@@ -292,6 +300,114 @@ def _balanced_fill(
     return bucket_of, buckets, overflow
 
 
+def _mol_cluster_means(
+    state, assign_full: np.ndarray, nlist: int, chunk: int = 65_536
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Per-cluster means of member items' component / gating tables.
+
+    `assign_full` is (X,) int32 cluster ids with -1 for excluded rows
+    (pad rows, overflow items). Streams the corpus in chunks from
+    whichever layout the state holds — contiguous `dynamic_slice`s, so
+    fused kernel-layout tables are read WITHOUT the X-major relayout copy
+    a scattered gather would force (`fused_mol_scores_tiles` docstring) —
+    and bins rows with `segment_sum` (a scatter: slow per element but run
+    ONCE at build time). int8 tables dequantize per chunk; m-major fused
+    gating rows return in the model's n-major order."""
+    it = state.item_tables
+    ft = state.fused_tables
+    standard = it.component_embeddings.shape[0] > 0
+    if standard:
+        x = it.component_embeddings.shape[0]
+        p_x, d_p = it.component_embeddings.shape[1:]
+        l = (
+            it.gating_partial.shape[1]
+            if it.gating_partial is not None else 0
+        )
+    else:
+        assert ft is not None, "state holds neither standard nor fused tables"
+        p_x, d_p, x = ft.item_comp_t.shape
+        l = ft.item_partial_t.shape[0]
+    chunk = min(chunk, x)
+    num_chunks = -(-x // chunk)
+    starts = jnp.arange(num_chunks, dtype=jnp.int32) * chunk
+    assign_dev = jnp.asarray(
+        np.pad(assign_full, (0, x - assign_full.shape[0]),
+               constant_values=-1).astype(jnp.int32)
+    )
+
+    @jax.jit
+    def sums(assign, tables):
+        def chunk_arrays(start):
+            cs = jnp.minimum(start, x - chunk)
+            if standard:
+                comp = jax.lax.dynamic_slice_in_dim(
+                    tables.component_embeddings, cs, chunk
+                ).astype(jnp.float32).reshape(chunk, p_x * d_p)
+                gp = (
+                    jax.lax.dynamic_slice_in_dim(
+                        tables.gating_partial, cs, chunk
+                    ).astype(jnp.float32)
+                    if tables.gating_partial is not None else None
+                )
+            else:
+                comp = jax.lax.dynamic_slice(
+                    tables.item_comp_t, (0, 0, cs), (p_x, d_p, chunk)
+                ).astype(jnp.float32)
+                gp = jax.lax.dynamic_slice(
+                    tables.item_partial_t, (0, cs), (l, chunk)
+                ).astype(jnp.float32)
+                if tables.comp_scale is not None:
+                    scale = jax.lax.dynamic_slice(
+                        tables.comp_scale, (0, cs), (p_x, chunk)
+                    )
+                    comp = comp * scale[:, None, :]
+                    gp = gp * jax.lax.dynamic_slice(
+                        tables.partial_scale, (0, cs), (1, chunk)
+                    )
+                comp = jnp.transpose(comp, (2, 0, 1)).reshape(
+                    chunk, p_x * d_p
+                )
+                gp = gp.T                                     # (chunk, L)
+            return cs, comp, gp
+
+        def body(carry, start):
+            c_sum, g_sum, cnt = carry
+            cs, comp, gp = chunk_arrays(start)
+            rows = cs + jnp.arange(chunk)
+            a = jax.lax.dynamic_slice_in_dim(assign, cs, chunk)
+            # Tail chunks re-cover rows; first occurrence wins via the
+            # rows >= start mask. Excluded rows bin into segment nlist.
+            a = jnp.where((rows >= start) & (a >= 0), a, nlist)
+            c_sum = c_sum + jax.ops.segment_sum(
+                comp, a, num_segments=nlist + 1
+            )[:nlist]
+            if g_sum is not None:
+                g_sum = g_sum + jax.ops.segment_sum(
+                    gp, a, num_segments=nlist + 1
+                )[:nlist]
+            cnt = cnt + jax.ops.segment_sum(
+                jnp.ones((chunk,), jnp.float32), a, num_segments=nlist + 1
+            )[:nlist]
+            return (c_sum, g_sum, cnt), None
+
+        init = (
+            jnp.zeros((nlist, p_x * d_p), jnp.float32),
+            jnp.zeros((nlist, l), jnp.float32) if l else None,
+            jnp.zeros((nlist,), jnp.float32),
+        )
+        (c_sum, g_sum, cnt), _ = jax.lax.scan(body, init, starts)
+        denom = jnp.maximum(cnt, 1.0)[:, None]
+        return c_sum / denom, (None if g_sum is None else g_sum / denom)
+
+    comp_cent, gating_cent = sums(assign_dev, it if standard else ft)
+    comp_cent = comp_cent.reshape(nlist, p_x, d_p)
+    if gating_cent is not None and not standard:
+        from rails_tpu.index.top_k import _inv_m_major_perm
+
+        gating_cent = gating_cent[:, _inv_m_major_perm(l // p_x, p_x)]
+    return comp_cent, gating_cent
+
+
 def build_ivf_index(
     avg_component: jnp.ndarray,  # (X, d_P) — MoLTopKState.avg_component
     item_ids: jnp.ndarray,       # (X,) int32 — pad rows (id 0) are excluded
@@ -301,6 +417,7 @@ def build_ivf_index(
     num_choices: int = 4,
     seed: int = 0,
     chunk: int = 65_536,
+    mol_state=None,              # MoLTopKState: build MoL-aware centroids
 ) -> IVFIndex:
     """Train k-means + build balanced inverted lists for a corpus state.
 
@@ -334,7 +451,7 @@ def build_ivf_index(
     choices, sims = assign_choices(
         avg_component, centroids, num_choices, chunk=chunk
     )
-    _, buckets, overflow_local = _balanced_fill(
+    bucket_of, buckets, overflow_local = _balanced_fill(
         choices[real], sims[real], nlist, cap
     )
 
@@ -347,10 +464,19 @@ def build_ivf_index(
     o_pad = _round_up(max(int(overflow.size), 0), 8) if overflow.size else 0
     overflow_padded = np.zeros((o_pad,), np.int32)
     overflow_padded[: overflow.size] = overflow
+    comp_cent = gating_cent = None
+    if mol_state is not None:
+        assign_full = np.full((ids_np.shape[0],), -1, np.int32)
+        assign_full[real] = bucket_of        # overflow rows stay -1
+        comp_cent, gating_cent = _mol_cluster_means(
+            mol_state, assign_full, nlist, chunk=chunk
+        )
     return IVFIndex(
         centroids=jnp.asarray(centroids),
         buckets=jnp.asarray(buckets),
         overflow=jnp.asarray(overflow_padded),
+        comp_centroids=comp_cent,
+        gating_centroids=gating_cent,
     )
 
 
@@ -360,13 +486,32 @@ def ivf_candidates(
     nprobe: int,
     user_ids: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """(B, nprobe*cap + O) corpus positions from the nprobe nearest lists."""
+    """(B, nprobe*cap + O) corpus positions from the nprobe nearest lists.
+
+    Probe ranking: with MoL-aware centroids (`comp_centroids`), lists rank
+    by the EXACT MoL score of each cluster's mean member tables — the
+    trained gating decides which clusters matter for THIS query, which the
+    avg-embedding dot product cannot see (it capped recall at 0.46 on the
+    4M frontier, docs/STATUS.md r4). nlist is ~4*sqrt(X), so full MoL
+    scoring of the centroids costs ~1/2000 of a brute-force pass."""
     nprobe = min(nprobe, ivf.centroids.shape[0])
-    q_comp = model.apply(
-        params, query_embeddings, user_ids, method=model.query_components
-    )                                          # (B, P_Q, d_P)
-    q_avg = q_comp.sum(axis=1).astype(jnp.float32)   # `mol_top_k.py:352` sum
-    cscores = q_avg @ ivf.centroids.T                 # (B, nlist)
+    if ivf.comp_centroids is not None:
+        from rails_tpu.similarity.mol import MoLItemTables
+
+        cscores = model.apply(
+            params, query_embeddings,
+            MoLItemTables(
+                component_embeddings=ivf.comp_centroids,
+                gating_partial=ivf.gating_centroids,
+            ),
+            user_ids=user_ids, method=model.score_precomputed,
+        )                                         # (B, nlist)
+    else:
+        q_comp = model.apply(
+            params, query_embeddings, user_ids, method=model.query_components
+        )                                          # (B, P_Q, d_P)
+        q_avg = q_comp.sum(axis=1).astype(jnp.float32)  # `mol_top_k.py:352`
+        cscores = q_avg @ ivf.centroids.T                # (B, nlist)
     _, probe = jax.lax.top_k(cscores, nprobe)         # (B, nprobe)
     cand = jnp.take(ivf.buckets, probe, axis=0)       # (B, nprobe, cap)
     b = cand.shape[0]
@@ -448,10 +593,19 @@ def build_sharded_ivf(
             state.avg_component, state.item_ids, nlist=nlist,
             num_iters=num_iters, cap_factor=cap_factor,
             num_choices=num_choices, seed=seed, chunk=chunk,
+            mol_state=state,
         )
         return IVFIndex(
             centroids=ivf.centroids[None], buckets=ivf.buckets[None],
             overflow=ivf.overflow[None],
+            comp_centroids=(
+                None if ivf.comp_centroids is None
+                else ivf.comp_centroids[None]
+            ),
+            gating_centroids=(
+                None if ivf.gating_centroids is None
+                else ivf.gating_centroids[None]
+            ),
         )
     ids_np = np.zeros((xp,), np.int32)
     ids_np[:x] = np.asarray(state.item_ids)

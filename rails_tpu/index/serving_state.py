@@ -153,7 +153,11 @@ def save_serving_state(
             arrays["fused_partial_scale"] = ft.partial_scale
     ivf_arrays = {}
     if st.ivf is not None:
-        ivf_arrays = {f: getattr(st.ivf, f) for f in st.ivf._fields}
+        # Optional fields (MoL-aware centroids) may be None; restore
+        # reconstructs via IVFIndex(**fields) whose defaults fill them.
+        ivf_arrays = {
+            f: a for f, a in zip(st.ivf._fields, st.ivf) if a is not None
+        }
 
     def _nbytes(a):
         return 0 if a is None else int(np.prod(a.shape)) * np.dtype(

@@ -116,7 +116,10 @@ def get_eval_state(
         x_real = int(np.count_nonzero(np.asarray(ids)))
         nlist = ivf_nlist or max(16, int(4 * np.sqrt(x_real)))
         state = state._replace(
-            ivf=build_ivf_index(state.avg_component, state.item_ids, nlist=nlist)
+            ivf=build_ivf_index(
+                state.avg_component, state.item_ids, nlist=nlist,
+                mol_state=state,
+            )
         )
     top_k_fn = get_top_k_fn(
         top_k_method, model, params, state, item_embeddings=item_emb

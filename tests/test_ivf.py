@@ -177,6 +177,73 @@ class TestQuery:
             np.asarray(got.scores), np.asarray(want.scores), rtol=5e-2, atol=5e-2
         )
 
+    def test_mol_centroid_means_exact(self, trained):
+        """comp/gating centroids == manual per-bucket means, for both the
+        standard and fused(-int8) table layouts (n-major gating order)."""
+        cfg, ds, model, params, batches = trained
+        for kw in ({}, {"build_fused": True, "fused_only": True},
+                   {"build_fused": True, "fused_only": True,
+                    "quantize_fused": True}):
+            state = _state(model, params, ds, **kw)
+            ivf = build_ivf_index(
+                state.avg_component, state.item_ids, nlist=8, num_iters=4,
+                chunk=128, mol_state=state,
+            )
+            # Manual means from the STANDARD layout over bucket members.
+            std = _state(model, params, ds)
+            comp = np.asarray(
+                std.item_tables.component_embeddings, np.float32
+            )
+            gp = np.asarray(std.item_tables.gating_partial, np.float32)
+            buckets = np.asarray(ivf.buckets)
+            # Reconstruct per-bucket membership: position 0 slots beyond
+            # the fill are pads; count real members by exactly-once cover.
+            for c in range(buckets.shape[0]):
+                members = buckets[c]
+                members = members[
+                    np.concatenate(
+                        [[True], members[1:] != 0]
+                    )
+                ]   # drop pad zeros (position 0 appears at most once/corpus)
+                if members.size == 0:
+                    continue
+                tol = 0.05 if kw else 1e-4   # bf16/int8 table rounding
+                np.testing.assert_allclose(
+                    np.asarray(ivf.comp_centroids[c]),
+                    comp[members].mean(axis=0), rtol=tol, atol=tol,
+                )
+                np.testing.assert_allclose(
+                    np.asarray(ivf.gating_centroids[c]),
+                    gp[members].mean(axis=0), rtol=tol, atol=tol,
+                )
+
+    def test_mol_ranked_probes_dominate_avg(self, trained):
+        """MoL-scored probe ranking recovers at least the avg ranking's
+        recall at equal nprobe (the r4 frontier's IVF recall cap was the
+        avg ranking's blindness to trained gating)."""
+        cfg, ds, model, params, batches = trained
+        state = _state(model, params, ds)
+        ivf_mol = build_ivf_index(
+            state.avg_component, state.item_ids, nlist=16, num_iters=8,
+            chunk=128, mol_state=state,
+        )
+        ivf_avg = ivf_mol._replace(comp_centroids=None, gating_centroids=None)
+        q, uids = _query_embeddings(model, params, ds, batches)
+        exact = tk.mol_brute_force_top_k(model, params, state, q, 10, uids)
+
+        def recall(ivf):
+            got = mol_ivf_top_k(
+                model, params, state._replace(ivf=ivf), q, 10, nprobe=4,
+                user_ids=uids,
+            )
+            return np.mean([
+                np.intersect1d(a, b).size / 10
+                for a, b in zip(np.asarray(got.ids), np.asarray(exact.ids))
+            ])
+
+        r_mol, r_avg = recall(ivf_mol), recall(ivf_avg)
+        assert r_mol >= r_avg - 0.05, (r_mol, r_avg)
+
     def test_chunked_rerank_matches_oneshot(self, trained):
         cfg, ds, model, params, batches = trained
         state = _state(model, params, ds)
