@@ -75,7 +75,7 @@ def serving_flops_per_user(cfg, n: int, x: int) -> float:
     return float(enc + q_side + x * per_item)
 
 
-def run(batch_size: int) -> dict:
+def run(batch_size: int, bucket_multiple: int = 64) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -159,7 +159,12 @@ def run(batch_size: int) -> dict:
         groups = {}
         for b in batches:
             n = (
-                min(n_full, serving_pad_length(int(b.features.lengths.max()), 64))
+                min(
+                    n_full,
+                    serving_pad_length(
+                        int(b.features.lengths.max()), bucket_multiple
+                    ),
+                )
                 if bucketed
                 else n_full
             )
@@ -274,6 +279,12 @@ def _require_live_backend(timeout_s: float = 300.0) -> None:
 
 
 def main() -> None:
+    import sys
+
+    bucket = 64
+    for a in sys.argv[1:]:
+        if a.startswith("--bucket="):
+            bucket = int(a.split("=", 1)[1])
     _require_live_backend()
     # The TPU is shared in this environment; fall back to smaller batches if
     # a run hits transient resource exhaustion.
@@ -281,7 +292,7 @@ def main() -> None:
     used_bs = None
     for bs in (512, 512, 128, 32):    # the tunnel throws transient errors —
         try:                          # retry the full size once before
-            res = run(bs)             # shrinking
+            res = run(bs, bucket)     # shrinking
             used_bs = bs
             break
         except Exception as e:                        # noqa: BLE001

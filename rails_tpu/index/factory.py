@@ -127,13 +127,19 @@ def get_top_k_raw(top_k_method: str):
     # per-query-gather variant is `tk.mol_tile_top_k`). Same certificate
     # convention as MoLCertTopK: the raw fn returns the TopKResult alone;
     # callers wanting the TopKCertificate pass certified=True directly.
-    m = re.fullmatch(r"MoLTileTopK(\d+)(?:Int8)?", top_k_method)
+    m = re.fullmatch(r"MoLTileTopK(\d+)(?:B(\d+))?(?:Int8)?", top_k_method)
     if m:
         tiles_per_group = int(m.group(1))
+        # Optional explicit shared-tile budget (in tiles): MoLTileTopK8B2048
+        # scores at most 2048*256 candidate columns for the whole batch.
+        # Default (no B suffix) keeps every distinct nominated tile, which
+        # makes the certificates per-(query, group)-threshold exact.
+        tile_budget = int(m.group(2)) if m.group(2) else None
         def raw(model, params, state, q, k, user_ids=None, item_embeddings=None):
             return tk.mol_tile_top_k_shared(
                 model, params, state, q, k,
-                tiles_per_group=tiles_per_group, user_ids=user_ids,
+                tiles_per_group=tiles_per_group, tile_budget=tile_budget,
+                user_ids=user_ids,
             )
         return raw
 
@@ -158,9 +164,12 @@ def parse_top_k_budgets(top_k_method: str) -> dict:
     m = re.fullmatch(r"MoLCertTopK(\d+)(?:Int8)?", top_k_method)
     if m:
         return {"cand_budget": int(m.group(1))}
-    m = re.fullmatch(r"MoLTileTopK(\d+)(?:Int8)?", top_k_method)
+    m = re.fullmatch(r"MoLTileTopK(\d+)(?:B(\d+))?(?:Int8)?", top_k_method)
     if m:
-        return {"tiles_per_group": int(m.group(1))}
+        out = {"tiles_per_group": int(m.group(1))}
+        if m.group(2):
+            out["tile_budget"] = int(m.group(2))
+        return out
     return {}
 
 

@@ -236,6 +236,7 @@ def make_sharded_top_k_fn(
             res = mol_tile_top_k_shared(
                 model, params_, state_l, q, k_local,
                 tiles_per_group=budgets["tiles_per_group"],
+                tile_budget=budgets.get("tile_budget"),
                 user_ids=user_ids,
             )
         elif top_k_method.startswith("MoLIVF"):

@@ -937,7 +937,13 @@ def mol_tile_top_k_shared(
             ]
         )
         n_all = sorted_tiles.shape[0]
-        t = min(tile_budget or n_all, n_all)
+        # Never score more slots than DISTINCT corpus tiles: nominations
+        # carry duplicates (B*L*kk slots for <= nb distinct tiles), and an
+        # uncapped budget scored every duplicate slot — measured 218 ms at
+        # 500k items for TileTopK32 (8.4M scored columns, 16.8x the corpus)
+        # where <= nb=1954 distinct tiles existed. Keeping t >= #distinct
+        # preserves full nomination coverage, so certificates are unchanged.
+        t = min(tile_budget or n_all, n_all, nb)
         if t < n_all:
             # Keep the highest-block-max distinct tiles; duplicate slots
             # (first=False) rank below every distinct tile and are masked.

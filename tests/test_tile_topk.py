@@ -227,6 +227,10 @@ class TestTileTopK:
         assert parse_top_k_budgets("MoLTileTopK4Int8") == {
             "tiles_per_group": 4
         }
+        assert parse_top_k_budgets("MoLTileTopK8B2048") == {
+            "tiles_per_group": 8, "tile_budget": 2048,
+        }
+        get_top_k_raw("MoLTileTopK8B2048Int8")    # parses
         es = get_eval_state(
             model, params, ds.all_item_ids, "MoLTileTopK2",
             table_dtype=jnp.float32,
@@ -382,6 +386,29 @@ class TestSharedTileTopK:
             )
             assert recall(res_sh.ids) >= recall(res_pq.ids) - 1e-9
             assert np.all(np.asarray(res_sh.ids) >= 1)
+
+    def test_budget_caps_at_distinct_corpus_tiles(self, trained, states):
+        """The shared tile list never exceeds the corpus's distinct tile
+        count: an oversized budget (or the default B*L*kk nomination count)
+        must give the same result as full coverage, not score duplicate
+        slots (the 500k-item measurement behind the cap: TileTopK32 scored
+        8.4M columns of a 500k corpus before it)."""
+        cfg, ds, model, params, _ = trained
+        es, q, user_ids, exact_scores = states
+        nb = es.topk_state.fused_tables.item_comp_t.shape[2] // 128
+        res_full, cert_full = tk.mol_tile_top_k_shared(
+            model, params, es.topk_state, q, 10, tiles_per_group=nb,
+            user_ids=user_ids, block_x=128, certified=True,
+        )
+        res_big, cert_big = tk.mol_tile_top_k_shared(
+            model, params, es.topk_state, q, 10, tiles_per_group=nb,
+            user_ids=user_ids, block_x=128, certified=True,
+            tile_budget=10 * nb,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_full.ids), np.asarray(res_big.ids)
+        )
+        assert bool(np.all(np.asarray(cert_big.certified)))
 
     def test_tile_budget_cap_stays_sound(self, trained, states):
         cfg, ds, model, params, _ = trained
