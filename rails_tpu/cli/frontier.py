@@ -75,6 +75,10 @@ def main(argv=None) -> None:
                    "build and run the sweep against them")
     p.add_argument("--ivf-nlist", type=int, default=None)
     p.add_argument("--ivf-iters", type=int, default=10)
+    p.add_argument("--cluster-order", action="store_true",
+                   help="relayout the corpus state in IVF-cluster order "
+                   "before the sweep (tile-granular methods then see "
+                   "cluster-coherent blocks; exact methods are invariant)")
     p.add_argument("--output-json", default=None)
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
     args = p.parse_args(argv)
@@ -208,6 +212,39 @@ def main(argv=None) -> None:
     oracle_sets = [set(r.tolist()) for r in oracle_i]
     logging.info("exact oracle computed in %.1f s", time.perf_counter() - t0)
 
+    if args.cluster_order:
+        # Build the IVF index up front and relayout the whole corpus state
+        # in cluster order: tile-granular methods then select over cluster-
+        # coherent blocks (the block-max bound is sharp only when a tile's
+        # items are similar). The oracle above is id-keyed and position-
+        # independent (embeddings regenerate per ORIGINAL chunk), so recall
+        # comparisons are unaffected; exact methods are permutation-
+        # invariant in id space.
+        from rails_tpu.index.ivf import build_ivf_index
+
+        nlist = args.ivf_nlist or max(64, int(4 * np.sqrt(x)))
+        t0 = time.perf_counter()
+        ivf, perm = build_ivf_index(
+            state_tk.avg_component, state_tk.item_ids, nlist=nlist,
+            num_iters=args.ivf_iters, chunk=16_384,
+            mol_state=state_tk, return_cluster_perm=True,
+        )
+        jax.block_until_ready(ivf.buckets)
+        ivf_build_s = time.perf_counter() - t0
+        rows.append({
+            "method": "ivf_build", "seconds": round(ivf_build_s, 1),
+            "nlist": int(ivf.centroids.shape[0]), "cluster_order": True,
+        })
+        logging.info("%s", json.dumps(rows[-1]))
+        t0 = time.perf_counter()
+        state_tk = tk.permute_state_items(
+            state_tk._replace(ivf=ivf), perm, delete_originals=True
+        )
+        logging.info(
+            "corpus relaid out in cluster order in %.1f s",
+            time.perf_counter() - t0,
+        )
+
     # HBM phasing: the avg table (X, d_P) bf16 is 2.15 GB at 8M items but
     # only the Avg/Comb prefilters (and the IVF BUILD — not its queries)
     # read it. Resident next to the 8.7 GB fused tables it cost the Cert
@@ -249,23 +286,23 @@ def main(argv=None) -> None:
 
         cert_rate = gap_p50 = gap_max = None
         if is_cert or is_tile:
-            budget = int(
-                method.replace("MoLCertTopK", "")
-                .replace("MoLTileTopK", "").replace("Int8", "")
-            )
+            from rails_tpu.index.factory import parse_top_k_budgets
+
+            budgets = parse_top_k_budgets(method)
 
             @jax.jit
-            def cert_once(params_, state_, q_, uids_, budget=budget):
+            def cert_once(params_, state_, q_, uids_, budgets=budgets):
                 if is_tile:
                     _, cert = tk.mol_tile_top_k_shared(
                         model, params_, state_, q_, args.k,
-                        tiles_per_group=budget, user_ids=uids_,
-                        certified=True,
+                        tiles_per_group=budgets["tiles_per_group"],
+                        tile_budget=budgets.get("tile_budget"),
+                        user_ids=uids_, certified=True,
                     )
                 else:
                     _, cert = tk.mol_certified_top_k(
                         model, params_, state_, q_, args.k,
-                        cand_budget=budget, user_ids=uids_,
+                        cand_budget=budgets["cand_budget"], user_ids=uids_,
                     )
                 return cert
             cert = cert_once(params, state_tk, q, user_ids)
@@ -316,7 +353,9 @@ def main(argv=None) -> None:
     for method in phase2:
         run_method(method)
 
-    if phase3:
+    if phase3 and state_tk.ivf is not None:
+        pass                      # --cluster-order already built + attached
+    elif phase3:
         from rails_tpu.index.ivf import build_ivf_index
 
         nlist = args.ivf_nlist or max(64, int(4 * np.sqrt(x)))

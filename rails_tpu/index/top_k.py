@@ -32,6 +32,7 @@ from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from rails_tpu.similarity.mol import MoLItemTables
 
@@ -402,6 +403,94 @@ def build_fused_state_chunked_on_device(
             comp_scale=cs_buf if quantize else None,
             partial_scale=ps_buf if quantize else None,
         ),
+    )
+
+
+def permute_state_items(
+    state: MoLTopKState, perm, delete_originals: bool = False
+) -> MoLTopKState:
+    """Relayout the corpus state so item columns follow `perm` (new position
+    -> old position), e.g. the cluster-order permutation from
+    `build_ivf_index(..., return_cluster_perm=True)`.
+
+    item_ids travel with the tables, so every TopKResult is unchanged in
+    id space; only the PHYSICAL tile composition changes — which is the
+    point: tile-granular methods (`mol_tile_top_k*`) see cluster-coherent
+    256-item blocks, sharpening their per-group block-max bounds from
+    "every tile is a diverse corpus sample" to "a tile is one cluster
+    slice" (measured effect: docs/STATUS.md r5 cluster-order study).
+
+    The permutation runs HOST-side: each device array is fetched, permuted
+    in numpy, deleted from HBM, then re-put — peak device memory is one
+    extra table at a time (a scattered in-jit gather along the item axis
+    would materialize a full X-major relayout copy next to the argument
+    table, the r4 8M OOM; see `fused_mol_scores_tiles`). Kernel-pad
+    columns past len(perm) stay in place. An attached `state.ivf` is
+    remapped through the inverse permutation (bucket 0-padding slots remap
+    to arbitrary real positions — still masked by candidate dedup, the
+    pre-existing semantics of the 0-pad).
+
+    `delete_originals=True` frees each source device array as soon as its
+    host copy exists (required at 8M items, where original + permuted
+    tables cannot coexist in HBM) — the INPUT state is unusable after.
+    """
+    from rails_tpu.ops.pallas.mol_scoring import FusedCorpusTables
+    perm = np.asarray(perm, np.int64)
+    x = int(perm.shape[0])
+    inv = np.empty((x,), np.int64)
+    inv[perm] = np.arange(x, dtype=np.int64)
+
+    def take(arr, axis):
+        if arr is None:
+            return None
+        a = np.asarray(jax.device_get(arr))
+        if delete_originals and hasattr(arr, "delete"):
+            try:
+                arr.delete()
+            except Exception:   # noqa: BLE001 — committed/donated arrays
+                pass
+        n = a.shape[axis]
+        idx = perm if n == x else np.concatenate(
+            [perm, np.arange(x, n, dtype=np.int64)]
+        )
+        return jax.device_put(np.take(a, idx, axis=axis))
+
+    it = state.item_tables
+    if it is not None and it.component_embeddings.shape[0] > 0:
+        it = MoLItemTables(
+            component_embeddings=take(it.component_embeddings, 0),
+            gating_partial=take(it.gating_partial, 0),
+        )
+    avg = state.avg_component
+    if avg is not None and avg.shape[0] == x:
+        avg = take(avg, 0)
+    ft = state.fused_tables
+    if ft is not None:
+        ft = FusedCorpusTables(
+            item_comp_t=take(ft.item_comp_t, 2),
+            item_partial_t=take(ft.item_partial_t, 1),
+            num_items=ft.num_items,
+            comp_scale=take(ft.comp_scale, 1),
+            partial_scale=take(ft.partial_scale, 1),
+        )
+    ivf = state.ivf
+    if ivf is not None:
+        remap = lambda a: (                                    # noqa: E731
+            jax.device_put(inv[np.asarray(jax.device_get(a), np.int64)]
+                           .astype(np.int32))
+        )
+        ivf = ivf._replace(
+            buckets=remap(ivf.buckets),
+            overflow=(
+                remap(ivf.overflow) if ivf.overflow.shape[0] else ivf.overflow
+            ),
+        )
+    return MoLTopKState(
+        item_ids=take(state.item_ids, 0),
+        item_tables=it,
+        avg_component=avg,
+        fused_tables=ft,
+        ivf=ivf,
     )
 
 

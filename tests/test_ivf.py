@@ -322,3 +322,99 @@ class TestQuery:
         res = fn(q, 10, uids)
         assert res.ids.shape == (q.shape[0], 10)
         assert bool((res.ids > 0).all())
+
+
+class TestClusterOrder:
+    def test_cluster_perm_is_permutation_and_groups_buckets(
+        self, trained
+    ):
+        cfg, ds, model, params, batches = trained
+        st = _state(model, params, ds, build_fused=True)
+        ivf, perm = build_ivf_index(
+            st.avg_component, st.item_ids, nlist=8, num_iters=4,
+            chunk=128, return_cluster_perm=True,
+        )
+        x = int(st.item_ids.shape[0])
+        assert sorted(perm.tolist()) == list(range(x))
+        # Members of each bucket occupy one contiguous run of new positions.
+        inv = np.empty(x, np.int64)
+        inv[perm] = np.arange(x)
+        buckets = np.asarray(ivf.buckets)
+        fill = (buckets != 0).sum(axis=1) + (buckets == 0).any(axis=1) * 0
+        for c in range(buckets.shape[0]):
+            members = buckets[c][: max(1, int((buckets[c] != 0).sum()))]
+            members = members[members != 0]
+            if members.size < 2:
+                continue
+            newpos = np.sort(inv[members])
+            assert newpos[-1] - newpos[0] == newpos.size - 1, c
+
+    def test_permuted_state_is_id_invariant(self, trained):
+        """Exact fused brute force and the tile method return identical
+        (id, score) results on a cluster-permuted state — only the physical
+        layout changes."""
+        cfg, ds, model, params, batches = trained
+        st = _state(model, params, ds, build_fused=True)
+        q, uids = _query_embeddings(model, params, ds, batches)
+        ivf, perm = build_ivf_index(
+            st.avg_component, st.item_ids, nlist=8, num_iters=4,
+            chunk=128, mol_state=st, return_cluster_perm=True,
+        )
+        res0 = tk.mol_brute_force_top_k_fused(
+            model, params, st, q, 10, user_ids=uids
+        )
+        ivf0 = mol_ivf_top_k(
+            model, params, st._replace(ivf=ivf), q, 10, nprobe=8,
+            user_ids=uids,
+        )
+        stp = tk.permute_state_items(st._replace(ivf=ivf), perm)
+        res1 = tk.mol_brute_force_top_k_fused(
+            model, params, stp, q, 10, user_ids=uids
+        )
+        np.testing.assert_array_equal(np.asarray(res0.ids),
+                                      np.asarray(res1.ids))
+        np.testing.assert_allclose(np.asarray(res0.scores),
+                                   np.asarray(res1.scores), rtol=1e-5)
+        # IVF with remapped buckets: same candidates in id space at full
+        # probe coverage.
+        ivf1 = mol_ivf_top_k(
+            model, params, stp, q, 10, nprobe=8, user_ids=uids
+        )
+        np.testing.assert_array_equal(np.asarray(ivf0.ids),
+                                      np.asarray(ivf1.ids))
+
+    def test_cluster_order_sharpens_tile_recall(self, trained):
+        """On a cluster-structured corpus, tile methods at a small
+        tiles_per_group recall at least as much on the cluster-ordered
+        layout as on the original arbitrary layout (the entire point of
+        the relayout)."""
+        cfg, ds, model, params, batches = trained
+        st = _state(model, params, ds, build_fused=True)
+        q, uids = _query_embeddings(model, params, ds, batches)
+        k = 20
+        exact = tk.mol_brute_force_top_k_fused(
+            model, params, st, q, k, user_ids=uids
+        )
+        ivf, perm = build_ivf_index(
+            st.avg_component, st.item_ids, nlist=8, num_iters=6,
+            chunk=128, return_cluster_perm=True,
+        )
+        stp = tk.permute_state_items(st, perm)
+
+        def recall(res):
+            hits = 0
+            ex = np.asarray(exact.ids)
+            got = np.asarray(res.ids)
+            for i in range(ex.shape[0]):
+                hits += len(set(ex[i].tolist()) & set(got[i].tolist()))
+            return hits / ex.size
+
+        r_orig = recall(tk.mol_tile_top_k_shared(
+            model, params, st, q, k, tiles_per_group=1, block_x=128,
+            user_ids=uids,
+        ))
+        r_clus = recall(tk.mol_tile_top_k_shared(
+            model, params, stp, q, k, tiles_per_group=1, block_x=128,
+            user_ids=uids,
+        ))
+        assert r_clus >= r_orig - 1e-9, (r_clus, r_orig)
