@@ -213,13 +213,24 @@ def main(argv=None) -> None:
     logging.info("exact oracle computed in %.1f s", time.perf_counter() - t0)
 
     if args.cluster_order:
-        # Build the IVF index up front and relayout the whole corpus state
-        # in cluster order: tile-granular methods then select over cluster-
-        # coherent blocks (the block-max bound is sharp only when a tile's
-        # items are similar). The oracle above is id-keyed and position-
-        # independent (embeddings regenerate per ORIGINAL chunk), so recall
-        # comparisons are unaffected; exact methods are permutation-
-        # invariant in id space.
+        # Build the IVF index up front and relayout the corpus in cluster
+        # order: tile-granular methods then select over cluster-COHERENT
+        # blocks (the block-max bound is sharp only when a tile's items
+        # are similar). The oracle above is id-keyed and position-
+        # independent, so recall comparisons are unaffected; exact methods
+        # are permutation-invariant in id space.
+        #
+        # The relayout REBUILDS the tables device-side instead of
+        # permuting the built state (`tk.permute_state_items`, the general
+        # API for externally-built states, round-trips every table through
+        # the host — measured 35+ min at 4M through the axon tunnel): the
+        # raw (X, D) item embeddings stay resident in bf16 (4.1 GB at 8M)
+        # and each permuted chunk is a row gather — contiguous rows, so no
+        # X-major relayout copy — feeding the same chunked table builder.
+        # Peak HBM = raw + ONE set of tables (the unordered tables are
+        # freed first); bf16 raw means permuted tables can differ from the
+        # unordered build by ~1 bf16 ULP through the item tower —
+        # sub-tie-noise (docs/STATUS.md r4 exactness-resolution note).
         from rails_tpu.index.ivf import build_ivf_index
 
         nlist = args.ivf_nlist or max(64, int(4 * np.sqrt(x)))
@@ -237,11 +248,62 @@ def main(argv=None) -> None:
         })
         logging.info("%s", json.dumps(rows[-1]))
         t0 = time.perf_counter()
-        state_tk = tk.permute_state_items(
-            state_tk._replace(ivf=ivf), perm, delete_originals=True
+        ids_host = np.asarray(ids)
+        # perm spans the state's PADDED id vector; pad rows (id 0) sort
+        # last, so its first len(ids) entries are exactly the real rows.
+        perm = np.asarray(perm)[: ids_host.shape[0]]
+        assert perm.max() < ids_host.shape[0], "pad rows leaked into perm"
+        # Free the unordered tables BEFORE the rebuild: original + permuted
+        # cannot coexist in HBM at 8M.
+        for leaf in jax.tree.leaves(state_tk):
+            if hasattr(leaf, "delete"):
+                try:
+                    leaf.delete()
+                except Exception:    # noqa: BLE001
+                    pass
+        raw_parts = []
+        for start in range(0, x, tk.BUILD_CHUNK):
+            cids = jnp.asarray(
+                ids_host[start:start + tk.BUILD_CHUNK], jnp.int32
+            )
+            raw_parts.append(embed_fn(start, cids).astype(jnp.bfloat16))
+        raw_all = jnp.concatenate(raw_parts)            # (X, D) bf16
+        del raw_parts
+        perm_dev = jnp.asarray(perm, jnp.int32)
+        gather_rows_fn = jax.jit(lambda r, p: jnp.take(r, p, axis=0))
+
+        def permuted_embed(start, cids):
+            return gather_rows_fn(
+                raw_all, perm_dev[start:start + cids.shape[0]]
+            ).astype(jnp.float32)
+
+        ids_perm = jnp.asarray(ids_host[np.asarray(perm)], jnp.int32)
+        state_tk = tk.build_fused_state_chunked_on_device(
+            model, params, ids_perm, embed_chunk_fn=permuted_embed,
+            chunk_size=tk.BUILD_CHUNK,
+            table_dtype=jnp.bfloat16, quantize=args.int8,
         )
+        jax.block_until_ready(state_tk.fused_tables.item_comp_t)
+        raw_all.delete()
+        if state_tk.avg_component is not None:
+            state_tk = state_tk._replace(
+                avg_component=state_tk.avg_component.astype(jnp.bfloat16)
+            )
+        # Remap the index's positions into the new layout and attach it.
+        inv = np.empty((x,), np.int64)
+        inv[np.asarray(perm, np.int64)] = np.arange(x, dtype=np.int64)
+        remap = lambda a: jnp.asarray(                         # noqa: E731
+            inv[np.asarray(jax.device_get(a), np.int64)].astype(np.int32)
+        )
+        state_tk = state_tk._replace(ivf=ivf._replace(
+            buckets=remap(ivf.buckets),
+            overflow=(
+                remap(ivf.overflow) if ivf.overflow.shape[0]
+                else ivf.overflow
+            ),
+        ))
         logging.info(
-            "corpus relaid out in cluster order in %.1f s",
+            "corpus rebuilt in cluster order in %.1f s",
             time.perf_counter() - t0,
         )
 
