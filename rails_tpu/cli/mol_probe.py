@@ -152,7 +152,7 @@ def main(argv=None):
                          memory_space=pltpu.VMEM),
         ]
 
-        def score(q):
+        def score(q, item, ip):
             return pl.pallas_call(
                 kernel,
                 grid=(b // block_b, x_pad // block_x),
@@ -183,16 +183,19 @@ def main(argv=None):
     for mode in args.modes.split(","):
         score = make_scorer(mode)
 
-        def chain(q, seed):
+        # Tables are RUNTIME ARGS, never jit-captured constants: the axon
+        # remote-compile path rejects multi-GB captured payloads.
+        def chain(q, item_, ip_, seed):
             def body(carry, _):
                 qq = q * (1.0 + carry * 1e-12)
-                s = score(qq)
-                return jnp.sum(s[:, :1]), s
+                s = score(qq, item_, ip_)
+                # Stack only a strided slice: (runs, B, X) f32 would be 2 GB.
+                return jnp.sum(s[:, :1]), jnp.sum(s[:, ::4096])
             c0 = seed.astype(jnp.float32)
             c, ss = jax.lax.scan(body, c0, (), length=args.runs)
-            return c + jnp.sum(ss[-1][:, ::4096])
+            return c + ss[-1]
 
-        ms, _ = timed(chain, q0)
+        ms, _ = timed(chain, q0, item, ip)
         results[mode] = round(ms, 2)
         print(f"mode={mode}: {ms:.2f} ms/batch "
               f"({ms / (x / 1e6):.2f} ms per M items, B={b})", flush=True)

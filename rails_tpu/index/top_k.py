@@ -503,6 +503,8 @@ def hierarchical_top_k(
     scores: jnp.ndarray,                      # (B, X)
     k: int,
     tile: int = 256,
+    tile_max: Optional[jnp.ndarray] = None,   # (B, >=ceil(X/tile)) f32
+    extra_tiles: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k at multi-million-row lengths via a tile-max hierarchy.
 
@@ -529,8 +531,19 @@ def hierarchical_top_k(
 
     Measured (v5e, B=32, X=8M, k=200, in-jit same-window): see
     docs/STATUS.md round-4 select table. The extra tile-max pass re-reads
-    the (B, X) scores once (~1 GB at 8M/B=32 — ~2 ms at HBM bandwidth),
-    which is noise next to the sort it removes.
+    the (B, X) scores once — measured 5.2 ms per M items at B=32
+    (docs/STATUS.md r5 decomposition), which is noise next to the sort it
+    removes but NOT next to the rest of the serving step; `tile_max`
+    accepts the maxima precomputed for free inside the fused scorer
+    (`fused_mol_scores_t(emit_blockmax=True)`), skipping stage 1.
+
+    A caller-provided `tile_max` may be an UPPER BOUND of the true tile
+    max on at most `extra_tiles` tiles (e.g. the scorer's final partial
+    tile, whose kernel-pad columns score garbage that the caller masks
+    AFTER the kernel): stage 2 then selects k+extra_tiles tiles, which
+    restores exactness — every tile containing a true top-k item still
+    ranks above all but at most (k-1) true-max tiles and `extra_tiles`
+    inflated ones.
     """
     b, x = scores.shape
     kk = min(k, x)
@@ -551,11 +564,17 @@ def hierarchical_top_k(
             scores, ((0, 0), (0, pad)), constant_values=-jnp.inf
         )
     tiles = scores.reshape(b, nt, tile)
-    tile_max = tiles.max(axis=2)                           # (B, nt)
-    _, tidx = chunked_top_k(tile_max, kk)                  # (B, kk) tile ids
+    if tile_max is None:
+        tile_max = tiles.max(axis=2)                       # (B, nt)
+        sel = kk
+    else:
+        assert tile_max.shape[1] >= nt, (tile_max.shape, nt)
+        tile_max = tile_max[:, :nt]
+        sel = min(kk + extra_tiles, nt)
+    _, tidx = chunked_top_k(tile_max, sel)                 # (B, sel) tile ids
     gathered = jnp.take_along_axis(
         tiles, tidx[:, :, None], axis=1
-    ).reshape(b, kk * tile)
+    ).reshape(b, sel * tile)
     v, pos = chunked_top_k(gathered, kk)
     col = (
         jnp.take_along_axis(tidx, pos // tile, axis=1) * tile + pos % tile
@@ -630,7 +649,8 @@ def _fused_scores(
     query_embeddings: jnp.ndarray,
     user_ids: Optional[jnp.ndarray],
     block_x: int,
-) -> jnp.ndarray:
+    emit_blockmax: bool = False,
+):
     from rails_tpu.ops.pallas.mol_scoring import (
         extract_gating_qi_weights,
         fused_mol_scores_t,
@@ -653,12 +673,21 @@ def _fused_scores(
         jnp.bfloat16 if ft.item_comp_t.dtype == jnp.int8
         else ft.item_comp_t.dtype
     )
-    return fused_mol_scores_t(
+    valid = None
+    if emit_blockmax:
+        # Nonzero for real corpus columns; the kernel masks pad columns
+        # (mid-corpus id-0 rows included) and emits post-mask block maxima.
+        valid = (state.item_ids != 0).astype(jnp.float32)
+    res = fused_mol_scores_t(
         q_comp.astype(q_dtype), qp,
         ft.item_comp_t, ft.item_partial_t, weights,
         float(_mol_cfg(model).temperature), block_x=block_x,
         comp_scale=ft.comp_scale, partial_scale=ft.partial_scale,
-    )[:, : ft.num_items]
+        emit_blockmax=emit_blockmax, valid=valid,
+    )
+    if emit_blockmax:
+        return res[0][:, : ft.num_items], res[1]
+    return res[:, : ft.num_items]
 
 
 def mol_brute_force_top_k_fused(
@@ -671,10 +700,35 @@ def mol_brute_force_top_k_fused(
     """Exact MoL over the whole corpus through the fused Pallas kernel
     (`rails_tpu/ops/pallas/mol_scoring.py`). Semantics identical to
     `mol_brute_force_top_k`; the (B, X, L) logits and gating activations
-    never touch HBM."""
-    scores = _fused_scores(model, params, state, query_embeddings, user_ids, block_x)
-    scores = _mask_pad_rows(scores, state.item_ids[: scores.shape[1]])
-    top_scores, top_idx = chunked_top_k(scores, k)
+    never touch HBM.
+
+    At hierarchical-select widths the kernel also emits per-block score
+    maxima (free while the scores are live in VMEM) with pad columns
+    (mid-corpus id-0 rows included) masked IN-kernel, so the select skips
+    BOTH its stage-1 streaming pass over the (B, X) row (measured 5.2 ms
+    per M items at B=32, docs/STATUS.md r5 decomposition) AND the separate
+    `_mask_pad_rows` pass."""
+    w = None
+    if state.fused_tables is not None:
+        w = min(
+            state.fused_tables.num_items,
+            state.fused_tables.item_comp_t.shape[2],
+        )
+    use_bmax = w is not None and w > _CHUNK_MAX_X and block_x == 256
+    if use_bmax:
+        scores, bmax = _fused_scores(
+            model, params, state, query_embeddings, user_ids, block_x,
+            emit_blockmax=True,
+        )
+        top_scores, top_idx = hierarchical_top_k(
+            scores, k, tile=block_x, tile_max=bmax,
+        )
+    else:
+        scores = _fused_scores(
+            model, params, state, query_embeddings, user_ids, block_x
+        )
+        scores = _mask_pad_rows(scores, state.item_ids[: scores.shape[1]])
+        top_scores, top_idx = chunked_top_k(scores, k)
     return TopKResult(scores=top_scores, ids=state.item_ids[top_idx])
 
 

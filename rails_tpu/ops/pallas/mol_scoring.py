@@ -52,18 +52,23 @@ def _kernel(
     b1_ref,       # (1, H)
     w2_ref,       # (H, L)
     b2_ref,       # (1, L)
-    *refs,        # [comp_scale (P_X, TX), ip_scale (1, TX)]? out, scratch
+    *refs,        # [comp_scale (P_X, TX), ip_scale (1, TX)]? out[s], scratch
     p_q: int,
     p_x: int,
     inv_temperature: float,
     mlp_dtype,
     quantized: bool = False,
+    emit_blockmax: bool = False,
 ):
     if quantized:
-        cs_ref, ips_ref, out_ref, logits_ref = refs
+        cs_ref, ips_ref, *refs = refs
+    else:
+        cs_ref = ips_ref = None
+    if emit_blockmax:
+        valid_ref, out_ref, out_max_ref, logits_ref = refs
     else:
         out_ref, logits_ref = refs
-        cs_ref = ips_ref = None
+        out_max_ref = valid_ref = None
     b = q_ref.shape[1]
     d_p = q_ref.shape[2]
     tx = item_ref.shape[2]
@@ -136,7 +141,20 @@ def _kernel(
     e = jnp.exp(gw - gw_max)
     s1 = jnp.sum(e * logits.reshape(l, b, tx), axis=0)
     s0 = jnp.sum(e, axis=0)
-    out_ref[:] = s1 / s0
+    vals = s1 / s0
+    if out_max_ref is not None:
+        # Pad columns (id 0 — kernel padding or mid-corpus pad rows) mask
+        # IN-kernel on this path, so the emitted block maxima are
+        # post-mask exact and the caller skips its (B, X) masking pass.
+        vals = jnp.where(valid_ref[0][None, :] != 0, vals, -1.0e30)
+        out_ref[:] = vals
+        # Per-(query, corpus-block) max of the FINAL scores — free here (the
+        # scores are live in VMEM), and it lets the exact top-k skip the
+        # hierarchical select's stage-1 streaming pass over the (B, X) row
+        # (measured 5.2 ms per M items, docs/STATUS.md r5 decomposition).
+        out_max_ref[:] = jnp.max(vals, axis=1, keepdims=True)
+    else:
+        out_ref[:] = vals
 
 
 def _ub_kernel(
@@ -538,7 +556,9 @@ def prepare_fused_tables(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("temperature", "block_x", "block_b", "interpret"),
+    static_argnames=(
+        "temperature", "block_x", "block_b", "interpret", "emit_blockmax",
+    ),
 )
 def fused_mol_scores_t(
     q_comp: jnp.ndarray,          # (B, P_Q, d_P)
@@ -552,8 +572,18 @@ def fused_mol_scores_t(
     interpret: Optional[bool] = None,
     comp_scale: Optional[jnp.ndarray] = None,      # (P_X, X), int8 tables
     partial_scale: Optional[jnp.ndarray] = None,   # (1, X), int8 tables
+    emit_blockmax: bool = False,
+    valid: Optional[jnp.ndarray] = None,           # (X,) nonzero = real row
 ) -> jnp.ndarray:
     """(B, X) MoL scores against pre-transposed corpus tables.
+
+    `emit_blockmax=True` additionally returns the per-(query, block) max of
+    the scores, (B, X/block_x) — computed in VMEM while the scores are
+    live, so the exact select can skip its tile-max streaming pass
+    (`hierarchical_top_k(tile_max=...)`). Requires `valid` (nonzero for
+    real corpus columns): pad columns mask to -1e30 IN-kernel, making both
+    the returned scores and the maxima post-mask exact. Returns
+    (scores, blockmax).
 
     The grid tiles both the corpus (block_x) and the query batch (block_b);
     per-step VMEM peaks at ~ block_b * block_x * 4 * (H + 3L) bytes, so large
@@ -609,6 +639,7 @@ def fused_mol_scores_t(
     kernel = functools.partial(
         _kernel, p_q=p_q, p_x=p_x, inv_temperature=1.0 / temperature,
         mlp_dtype=mlp_dtype, quantized=quantized,
+        emit_blockmax=emit_blockmax,
     )
     in_specs = [
         pl.BlockSpec((p_q, block_b, d_p), lambda j, i: (0, j, 0),
@@ -633,13 +664,35 @@ def fused_mol_scores_t(
                          memory_space=pltpu.VMEM),
         ]
         args += [comp_scale, partial_scale]
+    if emit_blockmax:
+        assert valid is not None, "emit_blockmax requires the valid vector"
+        v = valid.reshape(-1).astype(jnp.float32)
+        if v.shape[0] < x:
+            v = jnp.pad(v, (0, x - v.shape[0]))       # kernel pads invalid
+        in_specs += [
+            pl.BlockSpec((1, block_x), lambda j, i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [v[None, :]]
+    out_specs = pl.BlockSpec((block_b, block_x), lambda j, i: (j, i),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((bp, x), jnp.float32)
+    if emit_blockmax:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((block_b, 1), lambda j, i: (j, i),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((bp, x // block_x), jnp.float32),
+        ]
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((block_b, block_x), lambda j, i: (j, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bp, x), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((l, block_b, block_x), jnp.float32)],
         # Both grid dims are embarrassingly parallel (each step owns its
         # output block) — lets the pipeliner overlap freely.
@@ -661,6 +714,8 @@ def fused_mol_scores_t(
         ),
         interpret=interpret,
     )(*args)
+    if emit_blockmax:
+        return out[0][:b], out[1][:b]
     return out[:b]
 
 

@@ -820,3 +820,70 @@ class TestHierarchicalTopK:
         vg, ig = chunked_top_k(s, 50)       # dispatches to hierarchical
         np.testing.assert_array_equal(np.asarray(vg), np.asarray(ve))
         np.testing.assert_array_equal(np.asarray(ig), np.asarray(ie))
+
+
+class TestBlockmaxSelect:
+    def test_hierarchical_accepts_precomputed_tile_max(self):
+        from rails_tpu.index.top_k import hierarchical_top_k
+
+        rng = np.random.default_rng(7)
+        s = jnp.asarray(rng.normal(size=(4, 4096)).astype(np.float32))
+        tm = jnp.asarray(
+            np.asarray(s).reshape(4, -1, 256).max(axis=2)
+        )
+        ve, ie = jax.lax.top_k(s, 7)
+        vg, ig = hierarchical_top_k(s, 7, tile=256, tile_max=tm)
+        np.testing.assert_allclose(np.asarray(vg), np.asarray(ve))
+        np.testing.assert_array_equal(np.asarray(ig), np.asarray(ie))
+
+    def test_hierarchical_inflated_tile_max_with_extra_tiles(self):
+        """An upper-bound tile_max (inflated on a few tiles) plus
+        extra_tiles >= #inflated stays exact."""
+        from rails_tpu.index.top_k import hierarchical_top_k
+
+        rng = np.random.default_rng(8)
+        s = jnp.asarray(rng.normal(size=(3, 8192)).astype(np.float32))
+        tm = np.asarray(s).reshape(3, -1, 256).max(axis=2)
+        tm[:, 3] += 100.0     # two tiles inflated far above the truth
+        tm[:, 17] += 50.0
+        ve, _ = jax.lax.top_k(s, 9)
+        vg, ig = hierarchical_top_k(
+            s, 9, tile=256, tile_max=jnp.asarray(tm), extra_tiles=2
+        )
+        np.testing.assert_allclose(np.asarray(vg), np.asarray(ve))
+
+    def test_fused_blockmax_path_matches_plain_at_scale_threshold(
+        self, trained, monkeypatch
+    ):
+        """Force the blockmax-select path at test scale by shrinking
+        _CHUNK_MAX_X; results (with mid-corpus pad rows poisoned) must
+        match the plain fused path id-for-id."""
+        import rails_tpu.index.top_k as tkm
+
+        cfg, ds, model, params, batches = trained
+        es = get_eval_state(
+            model, params, ds.all_item_ids, "MoLBruteForceTopK",
+            table_dtype=jnp.float32,
+        )
+        state = tk.build_mol_topk_state(
+            model, params, es.all_item_ids, es.item_embeddings,
+            table_dtype=jnp.float32, build_fused=True, fused_block_x=256,
+        )
+        poisoned = state._replace(
+            item_ids=state.item_ids.at[jnp.asarray([5, 77])].set(0)
+        )
+        feats = batches[0].features
+        q = model.apply(params, feats, method=model.encode)
+        k = 7
+        ref = tk.mol_brute_force_top_k_fused(
+            model, params, poisoned, q, k, user_ids=feats.user_ids
+        )
+        monkeypatch.setattr(tkm, "_CHUNK_MAX_X", 64)
+        got = tk.mol_brute_force_top_k_fused(
+            model, params, poisoned, q, k, user_ids=feats.user_ids
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.scores), np.asarray(ref.scores),
+            rtol=1e-5, atol=1e-5,
+        )
+        assert np.all(np.asarray(got.ids) >= 1)

@@ -188,3 +188,51 @@ def test_fused_bf16_tables_close(mol_setup):
         np.argmax(np.asarray(scores), axis=1),
         np.argmax(np.asarray(expected), axis=1),
     )
+
+
+def test_emit_blockmax_masks_and_matches(mol_setup):
+    """emit_blockmax: scores equal the plain path with pad columns masked
+    to -1e30 (mid-corpus id-0 rows included), and the emitted maxima equal
+    the per-tile max of those masked scores."""
+    cfg, module, params, q, items, uids = mol_setup
+    tables = module.apply(
+        params, jnp.asarray(items), method=MoLSimilarity.build_item_tables
+    )
+    q_comp, _ = module.apply(
+        params, jnp.asarray(q), method=MoLSimilarity.query_components,
+        user_ids=jnp.asarray(uids),
+    )
+    qp = module.apply(
+        params, jnp.asarray(q),
+        method=lambda m, e: m.gating_query(e, train=False),
+    )
+    weights = extract_gating_qi_weights({"params": params["params"]})
+    comp_p, gp_p, x = pad_corpus_tables(
+        tables.component_embeddings, tables.gating_partial, block_x=128
+    )
+    from rails_tpu.ops.pallas.mol_scoring import fused_mol_scores_t
+
+    itemT = jnp.transpose(comp_p, (1, 2, 0))
+    ipT = gp_p.T
+    x_real = items.shape[0]
+    # Mid-corpus pads at 5 and 77, plus the kernel-pad tail.
+    valid = np.ones((x_real,), np.float32)
+    valid[[5, 77]] = 0.0
+    plain = np.asarray(fused_mol_scores_t(
+        q_comp, qp, itemT, ipT, weights, cfg.temperature,
+        block_x=128, block_b=8, interpret=True,
+    ))
+    scores, bmax = fused_mol_scores_t(
+        q_comp, qp, itemT, ipT, weights, cfg.temperature,
+        block_x=128, block_b=8, interpret=True,
+        emit_blockmax=True, valid=jnp.asarray(valid),
+    )
+    scores, bmax = np.asarray(scores), np.asarray(bmax)
+    expected = plain.copy()
+    expected[:, [5, 77]] = -1e30
+    expected[:, x_real:] = -1e30          # kernel-pad tail
+    np.testing.assert_allclose(scores, expected, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        bmax, expected.reshape(scores.shape[0], -1, 128).max(axis=2),
+        rtol=1e-6, atol=1e-6,
+    )
