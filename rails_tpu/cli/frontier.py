@@ -79,6 +79,9 @@ def main(argv=None) -> None:
                    help="relayout the corpus state in IVF-cluster order "
                    "before the sweep (tile-granular methods then see "
                    "cluster-coherent blocks; exact methods are invariant)")
+    p.add_argument("--skip-oracle", action="store_true",
+                   help="debug: skip the streamed exact oracle (recall "
+                   "columns report -1); for fast compile-error repros")
     p.add_argument("--output-json", default=None)
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
     args = p.parse_args(argv)
@@ -203,14 +206,19 @@ def main(argv=None) -> None:
     methods = [m for m in args.methods.split(",") if m]
     rows = []
 
-    t0 = time.perf_counter()
-    oracle_s, oracle_i = streamed_exact_top_k(
-        model, params, state_tk, q, user_ids, args.k,
-        embed_chunk_fn=embed_fn, item_ids_full=ids,
-        chunk=tk.BUILD_CHUNK,
-    )
-    oracle_sets = [set(r.tolist()) for r in oracle_i]
-    logging.info("exact oracle computed in %.1f s", time.perf_counter() - t0)
+    if args.skip_oracle:
+        oracle_sets = [set() for _ in range(args.batch_size)]
+    else:
+        t0 = time.perf_counter()
+        oracle_s, oracle_i = streamed_exact_top_k(
+            model, params, state_tk, q, user_ids, args.k,
+            embed_chunk_fn=embed_fn, item_ids_full=ids,
+            chunk=tk.BUILD_CHUNK,
+        )
+        oracle_sets = [set(r.tolist()) for r in oracle_i]
+        logging.info(
+            "exact oracle computed in %.1f s", time.perf_counter() - t0
+        )
 
     if args.cluster_order:
         # Build the IVF index up front and relayout the corpus in cluster

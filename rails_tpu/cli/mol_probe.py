@@ -170,9 +170,12 @@ def main(argv=None):
         return score
 
     def timed(fn, *fargs):
-        out = np.asarray(jax.jit(fn)(*fargs, jnp.int32(0)))  # compile+warm
+        jfn = jax.jit(fn)            # ONE wrapper: compile exactly once
+        t0 = time.perf_counter()
+        out = np.asarray(jfn(*fargs, jnp.int32(0)))  # compile+warm
+        print(f"  compiled+warm in {time.perf_counter() - t0:.1f} s",
+              flush=True)
         best = float("inf")
-        jfn = jax.jit(fn)
         for i in range(3):
             t0 = time.perf_counter()
             np.asarray(jfn(*fargs, jnp.int32(i + 1)))
@@ -181,6 +184,7 @@ def main(argv=None):
 
     results = {}
     for mode in args.modes.split(","):
+        print(f"mode={mode}: compiling...", flush=True)
         score = make_scorer(mode)
 
         # Tables are RUNTIME ARGS, never jit-captured constants: the axon

@@ -1191,18 +1191,110 @@ def _gathered_candidate_tables(
         return comp, gp
     ft = state.fused_tables
     assert ft is not None, "state holds neither standard nor fused tables"
-    comp = jnp.transpose(jnp.take(ft.item_comp_t, idx, axis=2), (2, 3, 0, 1))
+    if ft.item_comp_t.shape[2] > _CHUNK_MAX_X:
+        raw = _streamed_fused_column_gather(ft, idx)
+    else:
+        raw = _direct_fused_column_gather(ft, idx)
+    return _finalize_gathered(ft, *raw)
+
+
+def _direct_fused_column_gather(ft, idx: jnp.ndarray):
+    """Minor-axis column takes from kernel-layout tables — fine below the
+    streaming threshold (XLA's gather relayout copy is table-sized)."""
+    comp_g = jnp.take(ft.item_comp_t, idx, axis=2)        # (m, d, B, K)
+    gp_g = jnp.take(ft.item_partial_t, idx, axis=1)       # (L, B, K)
+    cs_g = ps_g = None
+    if ft.comp_scale is not None:
+        cs_g = jnp.take(ft.comp_scale, idx, axis=1)       # (m, B, K)
+        ps_g = jnp.take(ft.partial_scale[0], idx, axis=0)  # (B, K)
+    return comp_g, gp_g, cs_g, ps_g
+
+
+def _finalize_gathered(ft, comp_g, gp_g, cs_g, ps_g):
+    """Kernel-layout gathered columns -> per-query candidate tables
+    ((B, K, P_X, d_P), (B, K, L)), dequantized when the tables are int8."""
+    comp = jnp.transpose(comp_g, (2, 3, 0, 1))            # (B, K, m, d)
     p_x = ft.item_comp_t.shape[0]
     l = ft.item_partial_t.shape[0]
     inv = _inv_m_major_perm(l // p_x, p_x)
-    gp = jnp.transpose(jnp.take(ft.item_partial_t[inv], idx, axis=1), (1, 2, 0))
-    if ft.comp_scale is not None:
+    # Row-permute AFTER the column gather: permuting first
+    # (`item_partial_t[inv]`) materializes a full (L, Xp) copy of the
+    # table per call — 512 MB at 8M items — where the gathered (L, B*K)
+    # block is a few MB.
+    gp = jnp.transpose(gp_g[inv], (1, 2, 0))
+    if cs_g is not None:
         # int8 tables: dequantize the gathered candidates (tiny — (B, K)).
-        cs = jnp.transpose(jnp.take(ft.comp_scale, idx, axis=1), (1, 2, 0))
+        cs = jnp.transpose(cs_g, (1, 2, 0))
         comp = comp.astype(jnp.float32) * cs[..., None]        # (B,K,P_X,d_P)
-        ps = jnp.take(ft.partial_scale[0], idx, axis=0)        # (B, K)
-        gp = gp.astype(jnp.float32) * ps[..., None]
+        gp = gp.astype(jnp.float32) * ps_g[..., None]
     return comp, gp
+
+
+def _streamed_fused_column_gather(ft, idx: jnp.ndarray):
+    """Column gather from kernel-layout tables via a corpus-chunk scan.
+
+    A direct `jnp.take(item_comp_t, idx, axis=2)` gathers along the LANE
+    (minor-most) dimension, and XLA relayouts the whole operand to make
+    those columns contiguous — a loop-invariant full-table copy (7.63 GB
+    at 8M items) that it hoists out of any surrounding loop and that
+    pushed every candidate-rerank method past the HBM line at 8M
+    (compile-time buffer-assignment OOM; r5 AOT repro, /tmp/repro8m.py
+    pattern). Streaming the corpus axis keeps each relayout chunk-local:
+    peak extra HBM is one (m, d, chunk) slice + the gathered output, and
+    total traffic is one full table read — the same order as the rerank
+    that follows. Out-of-chunk indices clip and lose the `where`, so every
+    candidate is filled from exactly the one chunk that contains it."""
+    m, d, xp = ft.item_comp_t.shape
+    b, k = idx.shape
+    chunk = min(_CHUNK_MAX_X, xp)
+    num_chunks = -(-xp // chunk)
+    starts = jnp.minimum(
+        jnp.arange(num_chunks, dtype=jnp.int32) * chunk, xp - chunk
+    )
+    flat = idx.reshape(-1)
+    quant = ft.comp_scale is not None
+    acc = (
+        jnp.zeros((m, d, b * k), ft.item_comp_t.dtype),
+        jnp.zeros((ft.item_partial_t.shape[0], b * k),
+                  ft.item_partial_t.dtype),
+        jnp.zeros((m, b * k), jnp.float32) if quant else jnp.int32(0),
+        jnp.zeros((b * k,), jnp.float32) if quant else jnp.int32(0),
+    )
+
+    def body(carry, start):
+        comp_a, gp_a, cs_a, ps_a = carry
+        loc = flat - start
+        inb = (loc >= 0) & (loc < chunk)
+        li = jnp.clip(loc, 0, chunk - 1)
+        sl = jax.lax.dynamic_slice_in_dim(ft.item_comp_t, start, chunk, 2)
+        # The barrier pins the chunk as a materialized value: without it
+        # XLA folds gather(dynamic_slice(T)) back into gather(T) and
+        # re-hoists the full-table relayout this scan exists to avoid.
+        sl = jax.lax.optimization_barrier(sl)
+        comp_a = jnp.where(inb[None, None], jnp.take(sl, li, axis=2), comp_a)
+        gsl = jax.lax.optimization_barrier(
+            jax.lax.dynamic_slice_in_dim(ft.item_partial_t, start, chunk, 1)
+        )
+        gp_a = jnp.where(inb[None], jnp.take(gsl, li, axis=1), gp_a)
+        if quant:
+            csl = jax.lax.optimization_barrier(
+                jax.lax.dynamic_slice_in_dim(ft.comp_scale, start, chunk, 1)
+            )
+            cs_a = jnp.where(inb[None], jnp.take(csl, li, axis=1), cs_a)
+            psl = jax.lax.optimization_barrier(
+                jax.lax.dynamic_slice_in_dim(
+                    ft.partial_scale[0], start, chunk, 0
+                )
+            )
+            ps_a = jnp.where(inb, jnp.take(psl, li, axis=0), ps_a)
+        return (comp_a, gp_a, cs_a, ps_a), None
+
+    (comp_a, gp_a, cs_a, ps_a), _ = jax.lax.scan(body, acc, starts)
+    comp_g = comp_a.reshape(m, d, b, k)
+    gp_g = gp_a.reshape(-1, b, k)
+    if quant:
+        return comp_g, gp_g, cs_a.reshape(m, b, k), ps_a.reshape(b, k)
+    return comp_g, gp_g, None, None
 
 
 def dedup_rerank_top_k(
@@ -1273,9 +1365,48 @@ def dedup_rerank_top_k(
     first_blocks = jnp.moveaxis(is_first.reshape(b, nc, cand_chunk), 1, 0)
     kk = min(k, cand_chunk)
 
+    ft = state.fused_tables
+    pregather = (
+        state.item_tables.component_embeddings.shape[0] == 0
+        and ft is not None
+        and ft.item_comp_t.shape[2] > _CHUNK_MAX_X
+    )
+    raw_blocks = ()
+    if pregather:
+        # Fused-only huge corpus: gather ALL candidate columns in ONE
+        # streamed table pass, then scan the rerank over slices of the
+        # gathered (kernel-dtype) arrays. Gathering inside the rerank
+        # scan instead re-reads the full table per candidate chunk AND
+        # (measured in the r5 AOT repro) lets XLA hoist the full-table
+        # lane-relayout copy out of the nested loop — the 8M compile OOM.
+        # Dequantization stays per-chunk so int8 pools never materialize
+        # a full (B, C, P_X, d_P) f32 tensor.
+        comp_g, gp_g, cs_g, ps_g = _streamed_fused_column_gather(
+            ft, sorted_idx
+        )
+        nil = jnp.zeros((nc,), jnp.int32)
+        raw_blocks = (
+            jnp.moveaxis(comp_g.reshape(*comp_g.shape[:3], nc, cand_chunk),
+                         3, 0),                  # (nc, m, d, B, chunk)
+            jnp.moveaxis(gp_g.reshape(gp_g.shape[0], b, nc, cand_chunk),
+                         2, 0),                  # (nc, L, B, chunk)
+            jnp.moveaxis(cs_g.reshape(cs_g.shape[0], b, nc, cand_chunk),
+                         2, 0) if cs_g is not None else nil,
+            jnp.moveaxis(ps_g.reshape(b, nc, cand_chunk), 1, 0)
+            if ps_g is not None else nil,
+        )
+
     def body(carry, inp):
-        idx_c, first_c = inp
-        comp, gp = _gathered_candidate_tables(state, idx_c)
+        idx_c, first_c = inp[0], inp[1]
+        if pregather:
+            comp_c, gp_c, cs_c, ps_c = inp[2:]
+            quant = ft.comp_scale is not None
+            comp, gp = _finalize_gathered(
+                ft, comp_c, gp_c,
+                cs_c if quant else None, ps_c if quant else None,
+            )
+        else:
+            comp, gp = _gathered_candidate_tables(state, idx_c)
         scores = model.apply(
             params, query_embeddings, comp, gp, user_ids=user_ids,
             method=model.score_gathered,
@@ -1285,7 +1416,9 @@ def dedup_rerank_top_k(
         v, pos = jax.lax.top_k(scores, kk)
         return carry, (v, jnp.take_along_axis(idx_c, pos, axis=1))
 
-    _, (vs, is_) = jax.lax.scan(body, None, (idx_blocks, first_blocks))
+    _, (vs, is_) = jax.lax.scan(
+        body, None, (idx_blocks, first_blocks) + raw_blocks
+    )
     v_all = jnp.moveaxis(vs, 0, 1).reshape(b, nc * kk)
     i_all = jnp.moveaxis(is_, 0, 1).reshape(b, nc * kk)
     top_scores, pos = jax.lax.top_k(v_all, min(k, nc * kk))
@@ -1312,6 +1445,52 @@ def _component_chunk(
         cs = jax.lax.dynamic_slice_in_dim(ft.comp_scale, start, size, axis=1)
         out = out.astype(jnp.float32) * cs.T[:, :, None]
     return out
+
+
+def _chunk_component_sims(
+    state: MoLTopKState, q_n: jnp.ndarray, start: jnp.ndarray, size: int
+) -> jnp.ndarray:
+    """(B, P_X, size) per-component similarities of one corpus chunk,
+    computed in the resident table's NATIVE layout.
+
+    Inside a corpus-chunk scan this MUST NOT transpose the chunk: XLA
+    canonicalizes transpose(dynamic_slice(T)) to dynamic_slice(transpose(T))
+    and hoists the loop-invariant transpose — a full-table layout copy
+    (7.63 GB at 8M items) that pushed every streamed-candidate method past
+    the HBM line at 8M while the tables themselves were resident
+    (compile-time buffer-assignment OOM; r5 AOT repro). The einsum spelling
+    differs per layout instead, and int8 scales fold into the sims
+    afterwards (linear in the contraction, so bit-equivalent)."""
+    it = state.item_tables.component_embeddings
+    if it.shape[0] > 0:
+        comp_c = jax.lax.dynamic_slice_in_dim(it, start, size, axis=0)
+        return jnp.einsum(
+            "bd,cmd->bmc", q_n, comp_c, preferred_element_type=jnp.float32
+        )
+    ft = state.fused_tables
+    sl = jax.lax.dynamic_slice_in_dim(ft.item_comp_t, start, size, axis=2)
+    if sl.dtype == jnp.int8:
+        sl = sl.astype(jnp.bfloat16)
+    # Per-component (B, d) @ (d, C) dots: the rhs contracting dim lands on
+    # sublanes and the item dim on lanes — the table's NATIVE layout — so
+    # no relayout exists for XLA to hoist (an einsum spelling of the same
+    # contraction made XLA pick a d-minor operand layout and insert the
+    # same full-table copy the transpose did).
+    p_x = sl.shape[0]
+    sims = jnp.stack(
+        [
+            jax.lax.dot(
+                q_n.astype(sl.dtype), sl[m],
+                preferred_element_type=jnp.float32,
+            )
+            for m in range(p_x)
+        ],
+        axis=1,
+    )                                              # (B, P_X, C)
+    if ft.comp_scale is not None:
+        cs = jax.lax.dynamic_slice_in_dim(ft.comp_scale, start, size, axis=1)
+        sims = sims * cs[None]                     # (B, m, C) * (1, m, C)
+    return sims
 
 
 def _naive_candidates(
@@ -1413,14 +1592,13 @@ def _naive_candidates(
 
         def body(carry, start_pair, q_n=q_n):
             start, start_nom = start_pair
-            comp_c = _component_chunk(state, start, corpus_chunk)
             ids_c = jax.lax.dynamic_slice_in_dim(
                 state.item_ids, start, corpus_chunk
             )
             global_col = start + jnp.arange(corpus_chunk, dtype=jnp.int32)
             fresh = global_col >= start_nom      # not covered by prior chunks
-            sims = jnp.einsum(
-                "bd,cmd->bmc", q_n, comp_c, preferred_element_type=jnp.float32
+            sims = _chunk_component_sims(
+                state, q_n, start, corpus_chunk
             )                                  # (B, P_X, C)
             sims = jnp.where(
                 ((ids_c != 0) & fresh)[None, None, :], sims, NEG_PAD

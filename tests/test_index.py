@@ -887,3 +887,105 @@ class TestBlockmaxSelect:
             rtol=1e-5, atol=1e-5,
         )
         assert np.all(np.asarray(got.ids) >= 1)
+
+
+class TestStreamedColumnGather:
+    def _tables(self, quantize, xp=512, m=3, d=16, l=6):
+        from rails_tpu.ops.pallas.mol_scoring import FusedCorpusTables
+
+        rng = np.random.default_rng(11)
+        comp = jnp.asarray(
+            rng.normal(size=(m, d, xp)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        gp = jnp.asarray(
+            rng.normal(size=(l, xp)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        cs = ps = None
+        if quantize:
+            comp = jnp.asarray(
+                rng.integers(-127, 128, size=(m, d, xp)), jnp.int8
+            )
+            gp = jnp.asarray(rng.integers(-127, 128, size=(l, xp)), jnp.int8)
+            cs = jnp.asarray(rng.uniform(0.01, 1, (m, xp)).astype(np.float32))
+            ps = jnp.asarray(rng.uniform(0.01, 1, (1, xp)).astype(np.float32))
+        return FusedCorpusTables(
+            item_comp_t=comp, item_partial_t=gp, num_items=xp,
+            comp_scale=cs, partial_scale=ps,
+        )
+
+    @pytest.mark.parametrize("quantize", [False, True])
+    def test_matches_direct_take(self, quantize, monkeypatch):
+        """The corpus-chunk-scan gather (the >_CHUNK_MAX_X path that avoids
+        XLA's full-table lane relayout) is elementwise identical to the
+        direct minor-axis take, including the clamped overlapping final
+        chunk and int8 scales."""
+        import rails_tpu.index.top_k as tkm
+
+        ft = self._tables(quantize, xp=500)   # non-multiple: clamped tail
+        rng = np.random.default_rng(12)
+        idx = jnp.asarray(rng.integers(0, 500, size=(4, 9)), jnp.int32)
+        monkeypatch.setattr(tkm, "_CHUNK_MAX_X", 128)
+        comp_g, gp_g, cs_g, ps_g = tkm._streamed_fused_column_gather(ft, idx)
+        np.testing.assert_array_equal(
+            np.asarray(comp_g),
+            np.asarray(jnp.take(ft.item_comp_t, idx, axis=2)),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(gp_g),
+            np.asarray(jnp.take(ft.item_partial_t, idx, axis=1)),
+        )
+        if quantize:
+            np.testing.assert_array_equal(
+                np.asarray(cs_g),
+                np.asarray(jnp.take(ft.comp_scale, idx, axis=1)),
+            )
+            np.testing.assert_array_equal(
+                np.asarray(ps_g),
+                np.asarray(jnp.take(ft.partial_scale[0], idx, axis=0)),
+            )
+        else:
+            assert cs_g is None and ps_g is None
+
+    def test_pregathered_chunked_rerank_matches_oneshot(
+        self, trained, monkeypatch
+    ):
+        """The huge-corpus rerank branch (streamed pre-gather of ALL
+        candidate columns + scan over gathered slices — the r5 fix for the
+        8M nested-gather relayout OOM) must match the one-shot rerank
+        id-for-id. Thresholds shrunk so the branch activates at test
+        scale."""
+        import rails_tpu.index.top_k as tkm
+
+        cfg, ds, model, params, batches = trained
+        es_std = get_eval_state(
+            model, params, ds.all_item_ids, "MoLBruteForceTopK",
+            table_dtype=jnp.float32,
+        )
+        fused_state = tk.build_mol_topk_state(
+            model, params, jnp.asarray(np.asarray(ds.all_item_ids)),
+            es_std.item_embeddings, table_dtype=jnp.float32,
+            build_fused=True, fused_only=True,
+        )
+        feats = batches[0].features
+        q = model.apply(params, feats, method=model.encode)
+        rng = np.random.default_rng(5)
+        x = len(ds.all_item_ids)
+        cand = jnp.asarray(
+            rng.integers(0, x, size=(q.shape[0], 96)), jnp.int32
+        )
+        ref = tk.dedup_rerank_top_k(
+            model, params, fused_state, q, cand, 9, feats.user_ids,
+            cand_chunk=None,
+        )
+        monkeypatch.setattr(tkm, "_CHUNK_MAX_X", 32)
+        got = tk.dedup_rerank_top_k(
+            model, params, fused_state, q, cand, 9, feats.user_ids,
+            cand_chunk=16,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.scores), np.asarray(ref.scores),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.ids), np.asarray(ref.ids)
+        )
