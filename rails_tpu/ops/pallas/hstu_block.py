@@ -119,6 +119,7 @@ def _kernel(
     activation: str,
     softmax: bool,
     concat_ua: bool,
+    probe_skip: tuple = (),
 ):
     g, n, d = x_ref.shape
     h = num_heads
@@ -161,7 +162,7 @@ def _kernel(
 
     for gi in range(group):
         y_g = y_of(gi)                                # (N, F) fp32
-        if activation == "silu":
+        if activation == "silu" and "proj_silu" not in probe_skip:
             y_g = y_g * _sigmoid_tanh(y_g)            # silu, tanh form
         u = y_g[:, : h * dv]                          # fp32 (for gating)
         # Attention operands drop to the matmul dtype; for the pointwise-
@@ -179,11 +180,14 @@ def _kernel(
             # ts[i+1] - ts[j] (the reference's next-item gap semantics);
             # bucket via the shared `_time_bucket`, then a 128-lane
             # dynamic_gather picks the layer's bucket weight.
-            delta = nxt_ref[gi] - ext_ref[gi, 0, :n].reshape(1, n)   # (N, N)
-            bk = _time_bucket(delta, num_buckets)
-            ts_bias = _lane_gather(tsw_ref[0], bk)
             colmask_g = colmask_ref[gi, 0][None, :].astype(jnp.float32)
-            bias = relpos_ref[...] + ts_bias
+            if "bias" in probe_skip:        # probe: drop the bias BUILD
+                bias = jnp.zeros((n, n), jnp.float32)
+            else:
+                delta = nxt_ref[gi] - ext_ref[gi, 0, :n].reshape(1, n)  # (N,N)
+                bk = _time_bucket(delta, num_buckets)
+                ts_bias = _lane_gather(tsw_ref[0], bk)
+                bias = relpos_ref[...] + ts_bias
             if softmax:
                 # The reference applies the mask AFTER softmax (masked
                 # columns still feed the denominator), so the penalty trick
@@ -217,6 +221,8 @@ def _kernel(
             attn = jnp.dot(
                 a.astype(mm_dtype), v, preferred_element_type=jnp.float32
             )                                         # (N, h*dv) fp32
+        elif "attn" in probe_skip:           # probe: drop qk/av entirely
+            attn = v.astype(jnp.float32)
         else:
             attn_cols = []
             for head in range(h):
@@ -230,7 +236,10 @@ def _kernel(
                 )                                     # (N, N) fp32
                 if bias is not None:
                     qk = qk + bias
-                a = qk * _sigmoid_tanh(qk)
+                if "attn_silu" in probe_skip:   # probe: linear gate
+                    a = qk * 0.25
+                else:
+                    a = qk * _sigmoid_tanh(qk)
                 if mask is not None:
                     a = a * mask
                 a = a.astype(mm_dtype)
@@ -273,6 +282,7 @@ def _pick_group(b: int, n: int, f: int, requested: Optional[int]) -> int:
     static_argnames=(
         "num_heads", "dqk", "dv", "inv_n", "eps", "interpret", "block_users",
         "mask_in_bias", "num_buckets", "activation", "normalization",
+        "probe_skip",
     ),
 )
 def fused_hstu_block(
@@ -294,8 +304,17 @@ def fused_hstu_block(
     num_buckets: int = 128,
     activation: str = "silu",
     normalization: str = "rel_bias",
+    probe_skip: tuple = (),
 ) -> jnp.ndarray:
     """One HSTU block forward; semantics of `HSTUBlock.__call__` (eval).
+
+    `probe_skip` is MEASUREMENT-ONLY (`cli/hstu_probe.py`): a tuple of
+    kernel terms to drop so their device cost can be attributed by
+    difference — "proj_silu" (the (N, F) projection silu), "bias" (the
+    in-VMEM time-bucket bias build), "attn_silu" (the per-head (N, N)
+    gating silu, replaced by a linear scale), "attn" (the qk/av matmuls
+    entirely). Results are WRONG under any non-empty value; production
+    callers must leave it ().
 
     `mask_in_bias=True` promises that `bias` already carries a -30000
     additive penalty at masked (causal/invalid-column) positions, letting
@@ -375,6 +394,7 @@ def fused_hstu_block(
         inv_n=inv_n, eps=eps, has_bias=has_bias, mask_in_bias=mask_in_bias,
         internal_bias=internal, num_buckets=num_buckets,
         activation=activation, softmax=softmax, concat_ua=concat_ua,
+        probe_skip=probe_skip,
     )
     in_specs = [
         pl.BlockSpec(
