@@ -14,6 +14,11 @@ each stage by difference:
   proj_silu   drop the (N, F) projection silu (tanh-form)
   attn_silu   per-head (N, N) gating silu -> linear 0.25 scale
   attn        drop the qk/av matmuls entirely (attn := v)
+  attn_bias_add  skip the per-head (N, N) f32 bias ADD (bias build kept)
+  attn_bf16   run the whole per-head gate pipeline (qk accumulate, bias
+              add, silu, av input) in bf16 — isolates the f32 VPU + the
+              per-head (N, N) f32->bf16 convert; also the candidate
+              production dtype
 
 Geometry mirrors bench.py's serving path: 16 blocks, d=256, F=1024, h=8,
 dqk=dv=32, internal time bias, pointwise-silu attention. Timing: R
@@ -40,7 +45,11 @@ def main(argv=None):
     p.add_argument("--num-blocks", type=int, default=16)
     p.add_argument("--runs", type=int, default=8)
     p.add_argument(
-        "--modes", default="full,bias,proj_silu,attn_silu,attn")
+        "--modes",
+        default=(
+            "full,bias,proj_silu,attn_silu,attn,attn_bias_add,attn_bf16"
+        ),
+    )
     p.add_argument("--output-json", default=None)
     args = p.parse_args(argv)
 

@@ -1448,48 +1448,45 @@ def _component_chunk(
 
 
 def _chunk_component_sims(
-    state: MoLTopKState, q_n: jnp.ndarray, start: jnp.ndarray, size: int
+    state: MoLTopKState, q_comp: jnp.ndarray, start: int, size: int
 ) -> jnp.ndarray:
-    """(B, P_X, size) per-component similarities of one corpus chunk,
-    computed in the resident table's NATIVE layout.
+    """(B, P_Q, P_X, size) per-component similarities of one corpus chunk
+    (STATIC start), computed in the resident table's NATIVE layout.
 
-    Inside a corpus-chunk scan this MUST NOT transpose the chunk: XLA
-    canonicalizes transpose(dynamic_slice(T)) to dynamic_slice(transpose(T))
-    and hoists the loop-invariant transpose — a full-table layout copy
-    (7.63 GB at 8M items) that pushed every streamed-candidate method past
-    the HBM line at 8M while the tables themselves were resident
-    (compile-time buffer-assignment OOM; r5 AOT repro). The einsum spelling
-    differs per layout instead, and int8 scales fold into the sims
-    afterwards (linear in the contraction, so bit-equivalent)."""
+    `start` must be a Python int: a `lax.scan` over DYNAMIC slice starts
+    makes XLA hoist a loop-invariant X-major relayout copy of the whole
+    table out of the loop — 7.63 GB at 8M items, a compile-time
+    buffer-assignment OOM with the tables resident (r5 on-chip repro;
+    neither the `lax.dot` spelling nor avoiding transposes prevents the
+    hoist). Static slices leave XLA no loop to hoist out of, and every
+    chunk is read ONCE for all P_Q query groups. int8 scales fold into the
+    sims afterwards (linear in the contraction, so bit-equivalent)."""
+    b, p_q, d = q_comp.shape
     it = state.item_tables.component_embeddings
     if it.shape[0] > 0:
-        comp_c = jax.lax.dynamic_slice_in_dim(it, start, size, axis=0)
+        comp_c = jax.lax.slice_in_dim(it, start, start + size, axis=0)
         return jnp.einsum(
-            "bd,cmd->bmc", q_n, comp_c, preferred_element_type=jnp.float32
+            "bnd,cmd->bnmc", q_comp, comp_c,
+            preferred_element_type=jnp.float32,
         )
     ft = state.fused_tables
-    sl = jax.lax.dynamic_slice_in_dim(ft.item_comp_t, start, size, axis=2)
+    sl = jax.lax.slice_in_dim(ft.item_comp_t, start, start + size, axis=2)
     if sl.dtype == jnp.int8:
         sl = sl.astype(jnp.bfloat16)
-    # Per-component (B, d) @ (d, C) dots: the rhs contracting dim lands on
-    # sublanes and the item dim on lanes — the table's NATIVE layout — so
-    # no relayout exists for XLA to hoist (an einsum spelling of the same
-    # contraction made XLA pick a d-minor operand layout and insert the
-    # same full-table copy the transpose did).
+    # Per-component (B*P_Q, d) @ (d, C) dots: the rhs contracting dim lands
+    # on sublanes and the item dim on lanes — the table's NATIVE layout.
     p_x = sl.shape[0]
+    q_flat = q_comp.reshape(b * p_q, d).astype(sl.dtype)
     sims = jnp.stack(
         [
-            jax.lax.dot(
-                q_n.astype(sl.dtype), sl[m],
-                preferred_element_type=jnp.float32,
-            )
+            jax.lax.dot(q_flat, sl[m], preferred_element_type=jnp.float32)
             for m in range(p_x)
         ],
         axis=1,
-    )                                              # (B, P_X, C)
+    ).reshape(b, p_q, p_x, size)
     if ft.comp_scale is not None:
-        cs = jax.lax.dynamic_slice_in_dim(ft.comp_scale, start, size, axis=1)
-        sims = sims * cs[None]                     # (B, m, C) * (1, m, C)
+        cs = jax.lax.slice_in_dim(ft.comp_scale, start, start + size, axis=1)
+        sims = sims * cs[None, None]           # (..., m, C) * (1, 1, m, C)
     return sims
 
 
@@ -1571,7 +1568,7 @@ def _naive_candidates(
             jnp.concatenate(outs, axis=1), jnp.concatenate(ts, axis=1)
         )
 
-    # Streamed path: scan corpus chunks with the FINAL chunk's start clamped
+    # Streamed path: STATIC chunk walk with the FINAL chunk's start clamped
     # back so it stays in bounds (same copy-free tail handling as
     # `ivf.kmeans`) — no padded copy of the multi-GB table is ever
     # materialized (a `jnp.pad` here doubled peak HBM in exactly the
@@ -1579,41 +1576,40 @@ def _naive_candidates(
     # that a previous chunk already covered are masked out, so every corpus
     # row is scored in exactly ONE chunk and the merged per-group top-k
     # stays exact (a duplicated winner would otherwise occupy two merge
-    # slots and could crowd out the k-th distinct one).
+    # slots and could crowd out the k-th distinct one). The walk unrolls in
+    # Python rather than `lax.scan`: dynamic in-loop slice starts made XLA
+    # hoist a full-table relayout copy (see `_chunk_component_sims`).
     num_chunks = -(-x // corpus_chunk)
     kk = min(k_per_group, corpus_chunk)
-    nominal = jnp.arange(num_chunks, dtype=jnp.int32) * corpus_chunk
-    starts = jnp.minimum(nominal, x - corpus_chunk)
-
-    outs = []
-    ts = []
-    for n in range(p_q):
-        q_n = q_comp[:, n]
-
-        def body(carry, start_pair, q_n=q_n):
-            start, start_nom = start_pair
-            ids_c = jax.lax.dynamic_slice_in_dim(
-                state.item_ids, start, corpus_chunk
+    per_chunk_v = []
+    per_chunk_i = []
+    for ci in range(num_chunks):
+        start_nom = ci * corpus_chunk
+        start = min(start_nom, x - corpus_chunk)
+        ids_c = jax.lax.slice_in_dim(
+            state.item_ids, start, start + corpus_chunk
+        )
+        col_ok = ids_c != 0
+        if start != start_nom:                 # clamped tail: mask re-covered
+            col_ok = col_ok & (
+                jnp.arange(corpus_chunk, dtype=jnp.int32)
+                >= (start_nom - start)
             )
-            global_col = start + jnp.arange(corpus_chunk, dtype=jnp.int32)
-            fresh = global_col >= start_nom      # not covered by prior chunks
-            sims = _chunk_component_sims(
-                state, q_n, start, corpus_chunk
-            )                                  # (B, P_X, C)
-            sims = jnp.where(
-                ((ids_c != 0) & fresh)[None, None, :], sims, NEG_PAD
-            )
-            v, i = jax.lax.top_k(sims, kk)
-            return carry, (v, i + start)
-
-        _, (vs, is_) = jax.lax.scan(body, None, (starts, nominal))
-        v_all = jnp.moveaxis(vs, 0, 2).reshape(b, vs.shape[2], num_chunks * kk)
-        i_all = jnp.moveaxis(is_, 0, 2).reshape(b, vs.shape[2], num_chunks * kk)
-        vv, pos = jax.lax.top_k(v_all, k_per_group)
-        idx = jnp.take_along_axis(i_all, pos, axis=2)
-        outs.append(idx.reshape(b, -1))
-        ts.append(vv[:, :, -1])                # merged per-group k-th value
-    return _maybe(jnp.concatenate(outs, axis=1), jnp.concatenate(ts, axis=1))
+        sims = _chunk_component_sims(
+            state, q_comp, start, corpus_chunk
+        )                                      # (B, P_Q, P_X, C)
+        sims = jnp.where(col_ok[None, None, None, :], sims, NEG_PAD)
+        v, i = jax.lax.top_k(sims, kk)         # (B, P_Q, P_X, kk)
+        per_chunk_v.append(v.reshape(b, -1, kk))
+        per_chunk_i.append((i + start).reshape(b, -1, kk))
+    v_all = jnp.concatenate(per_chunk_v, axis=2)   # (B, P_Q*P_X, nc*kk)
+    i_all = jnp.concatenate(per_chunk_i, axis=2)
+    vv, pos = jax.lax.top_k(v_all, k_per_group)
+    idx = jnp.take_along_axis(i_all, pos, axis=2)
+    return _maybe(
+        idx.reshape(b, -1),                    # group-major, as the small path
+        vv[:, :, -1],                          # merged per-group k-th value
+    )
 
 
 def mol_naive_top_k(

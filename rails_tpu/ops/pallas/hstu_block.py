@@ -224,6 +224,14 @@ def _kernel(
         elif "attn" in probe_skip:           # probe: drop qk/av entirely
             attn = v.astype(jnp.float32)
         else:
+            # probe: run the whole per-head gate pipeline (qk accumulate,
+            # bias add, silu, av input) in bf16 — isolates the f32 VPU +
+            # per-head (N, N) convert cost.
+            attn_bf16 = "attn_bf16" in probe_skip
+            gate_dtype = mm_dtype if attn_bf16 else jnp.float32
+            bias_g = (
+                bias.astype(gate_dtype) if bias is not None else None
+            )
             attn_cols = []
             for head in range(h):
                 qh = q[:, head * dqk : (head + 1) * dqk]
@@ -232,17 +240,19 @@ def _kernel(
                 qk = jax.lax.dot_general(
                     qh, kh,
                     dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                     # (N, N) fp32
-                if bias is not None:
-                    qk = qk + bias
+                    preferred_element_type=gate_dtype,
+                )                                     # (N, N)
+                # probe: skip the per-head bias add (bias BUILD kept)
+                if bias_g is not None and "attn_bias_add" not in probe_skip:
+                    qk = qk + bias_g
                 if "attn_silu" in probe_skip:   # probe: linear gate
-                    a = qk * 0.25
+                    a = qk * jnp.asarray(0.25, gate_dtype)
                 else:
                     a = qk * _sigmoid_tanh(qk)
                 if mask is not None:
-                    a = a * mask
-                a = a.astype(mm_dtype)
+                    a = a * mask.astype(gate_dtype)
+                if not attn_bf16:
+                    a = a.astype(mm_dtype)
                 attn_cols.append(
                     jnp.dot(a, vh, preferred_element_type=jnp.float32)
                 )                                     # (N, dv); 1/N is in v

@@ -33,6 +33,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# Lane width of the emitted per-corpus-block maxima window: the maxima
+# output revisits one (block_b, 128) block per 128 consecutive corpus grid
+# steps (a 1-lane output block cannot lower on TPU — last block dim must be
+# 128-divisible or span the array, and the array spans X/block_x tiles).
+_BLOCKMAX_LANES = 128
+
+
 def _sigmoid_tanh(x):
     """sigmoid via the exact identity 0.5*(1 + tanh(x/2)).
 
@@ -152,7 +159,25 @@ def _kernel(
         # scores are live in VMEM), and it lets the exact top-k skip the
         # hierarchical select's stage-1 streaming pass over the (B, X) row
         # (measured 5.2 ms per M items, docs/STATUS.md r5 decomposition).
-        out_max_ref[:] = jnp.max(vals, axis=1, keepdims=True)
+        #
+        # The maxima block is a 128-lane WINDOW revisited across 128
+        # consecutive corpus steps (Mosaic cannot lower a 1-lane output
+        # block; r5 on-chip 8M repro): step i owns lane i % 128 and blends
+        # it in with a one-hot select. Lanes beyond the final window (and
+        # any step the window doesn't reach) stay at the -1e30 fill written
+        # when the window first becomes resident.
+        i = pl.program_id(1)
+        lane = i % _BLOCKMAX_LANES
+        m = jnp.max(vals, axis=1, keepdims=True)          # (block_b, 1)
+
+        @pl.when(lane == 0)
+        def _init_window():
+            out_max_ref[:] = jnp.full_like(out_max_ref, -1.0e30)
+
+        lane_ids = jax.lax.broadcasted_iota(
+            jnp.int32, out_max_ref.shape, 1
+        )
+        out_max_ref[:] = jnp.where(lane_ids == lane, m, out_max_ref[:])
     else:
         out_ref[:] = vals
 
@@ -678,14 +703,23 @@ def fused_mol_scores_t(
                              memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((bp, x), jnp.float32)
     if emit_blockmax:
+        # The maxima output is a (block_b, 128) window revisited across 128
+        # consecutive corpus steps (see `_BLOCKMAX_LANES`); the tiles axis
+        # pads up to a window multiple, with unreached lanes left at the
+        # kernel's -1e30 window fill (callers slice back to X/block_x).
+        nt = x // block_x
+        nt_pad = -(-nt // _BLOCKMAX_LANES) * _BLOCKMAX_LANES
         out_specs = [
             out_specs,
-            pl.BlockSpec((block_b, 1), lambda j, i: (j, i),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (block_b, _BLOCKMAX_LANES),
+                lambda j, i: (j, i // _BLOCKMAX_LANES),
+                memory_space=pltpu.VMEM,
+            ),
         ]
         out_shape = [
             out_shape,
-            jax.ShapeDtypeStruct((bp, x // block_x), jnp.float32),
+            jax.ShapeDtypeStruct((bp, nt_pad), jnp.float32),
         ]
     out = pl.pallas_call(
         kernel,
@@ -695,9 +729,15 @@ def fused_mol_scores_t(
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((l, block_b, block_x), jnp.float32)],
         # Both grid dims are embarrassingly parallel (each step owns its
-        # output block) — lets the pipeliner overlap freely.
+        # output block) — lets the pipeliner overlap freely. The blockmax
+        # window REVISITS its output block across corpus steps, so that
+        # variant declares the corpus dim "arbitrary" (sequential) to keep
+        # the read-modify-write of the resident window sound.
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=(
+                ("parallel", "arbitrary") if emit_blockmax
+                else ("parallel", "parallel")
+            ),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * x * l * (d_p + 2 * h),

@@ -232,7 +232,14 @@ def test_emit_blockmax_masks_and_matches(mol_setup):
     expected[:, [5, 77]] = -1e30
     expected[:, x_real:] = -1e30          # kernel-pad tail
     np.testing.assert_allclose(scores, expected, rtol=1e-6, atol=1e-6)
+    # The maxima output pads the tiles axis to a 128-lane window multiple
+    # (Mosaic cannot lower a 1-lane output block); real tiles lead, pad
+    # lanes hold the window fill.
+    nt = scores.shape[1] // 128
+    assert bmax.shape[1] % 128 == 0 and bmax.shape[1] >= nt
     np.testing.assert_allclose(
-        bmax, expected.reshape(scores.shape[0], -1, 128).max(axis=2),
+        bmax[:, :nt],
+        expected.reshape(scores.shape[0], nt, 128).max(axis=2),
         rtol=1e-6, atol=1e-6,
     )
+    assert (bmax[:, nt:] == -1.0e30).all()
