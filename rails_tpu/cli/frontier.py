@@ -208,6 +208,7 @@ def main(argv=None) -> None:
 
     if args.skip_oracle:
         oracle_sets = [set() for _ in range(args.batch_size)]
+        oracle_scores = None
     else:
         t0 = time.perf_counter()
         oracle_s, oracle_i = streamed_exact_top_k(
@@ -216,6 +217,8 @@ def main(argv=None) -> None:
             chunk=tk.BUILD_CHUNK,
         )
         oracle_sets = [set(r.tolist()) for r in oracle_i]
+        # Descending score rows for the tie-aware exactness check below.
+        oracle_scores = -np.sort(-np.asarray(oracle_s, np.float32), axis=1)
         logging.info(
             "exact oracle computed in %.1f s", time.perf_counter() - t0
         )
@@ -353,6 +356,25 @@ def main(argv=None) -> None:
             len(set(r.tolist()) & oracle_sets[i]) / args.k
             for i, r in enumerate(res_ids)
         ]))
+        # Tie-aware exactness for the exact-class methods: id overlap
+        # cannot distinguish a genuine sub-1e-2 scoring bug from bf16 ties
+        # at the k-th boundary (VERDICT r4 weak #8) — the sorted score
+        # MULTISETS can. Reports the max relative deviation of the
+        # descending top-k score rows vs the streamed oracle; bf16 tie
+        # noise is ~1e-3-class, a real bug is orders above it.
+        score_dev = None
+        if (
+            oracle_scores is not None
+            and method.startswith("MoLBruteForce")
+            and "Approx" not in method
+        ):
+            got = -np.sort(-np.asarray(res.scores, np.float32), axis=1)
+            # Per-row max-|score| scale: a per-entry scale blows the ratio
+            # up on near-zero boundary scores without any actual bug.
+            scale = np.maximum(
+                np.abs(oracle_scores).max(axis=1, keepdims=True), 1e-6
+            )
+            score_dev = float(np.max(np.abs(got - oracle_scores) / scale))
 
         cert_rate = gap_p50 = gap_max = None
         if is_cert or is_tile:
@@ -398,30 +420,56 @@ def main(argv=None) -> None:
             )
             return tot
 
+        timing_mode = "scan"
         try:
             np.asarray(timed(params, state_tk, q, user_ids, jnp.int32(0)))
             t0 = time.perf_counter()
             np.asarray(
                 timed(params, state_tk, q, user_ids, jnp.int32(args.runs))
             )
-        except Exception as e:  # noqa: BLE001 — e.g. the scanned timing
-            # loop can OOM where the single-shot call fit (extra live
-            # buffers across iterations); keep the sweep going with the
-            # recall row + the error recorded.
-            logging.warning("%s timing failed: %s", name, e)
-            rows.append({
-                "method": name,
-                f"recall@{args.k}": round(recall, 4),
-                "error": str(e)[:200],
-            })
-            return
-        dt = (time.perf_counter() - t0) / args.runs
+            dt = (time.perf_counter() - t0) / args.runs
+        except Exception as e:  # noqa: BLE001 — the scanned loop can OOM
+            # where the single-shot call fit (XLA keeps extra working-set
+            # copies live across scan iterations: at 8M items the streamed
+            # Naive/Comb gather program compiles to ~2x the single-shot HBM
+            # peak, 31.5 G vs 15.75 G). Fall back to per-dispatch timing
+            # with the tunnel's dispatch+fetch overhead measured on a tiny
+            # jitted op and subtracted — noisier (~ms-class residual) but
+            # honest for the 100 ms-class methods that hit this path.
+            logging.warning(
+                "%s scanned timing failed (%s); per-dispatch fallback",
+                name, str(e)[:120],
+            )
+            timing_mode = "dispatch"
+            tiny = jax.jit(lambda s: s + 1)
+            np.asarray(tiny(jnp.int32(0)))                     # compile
+            t0 = time.perf_counter()
+            for i in range(args.runs):
+                np.asarray(tiny(jnp.int32(i)))
+            overhead = (time.perf_counter() - t0) / args.runs
+            qs = [
+                jax.block_until_ready(
+                    q + jnp.asarray((i + 1) * 1e-6, q.dtype)
+                )
+                for i in range(args.runs)
+            ]
+            np.asarray(once(params, state_tk, q, user_ids).ids)  # warm
+            t0 = time.perf_counter()
+            for i in range(args.runs):
+                np.asarray(once(params, state_tk, qs[i], user_ids).ids)
+            dt = max(
+                (time.perf_counter() - t0) / args.runs - overhead, 1e-9
+            )
         row = {
             "method": name,
             "ms_per_batch": round(dt * 1e3, 2),
             "qps": round(args.batch_size / dt, 1),
             f"recall@{args.k}": round(recall, 4),
         }
+        if timing_mode != "scan":
+            row["timing"] = timing_mode
+        if score_dev is not None:
+            row["score_rel_dev_max"] = round(score_dev, 6)
         if cert_rate is not None:
             row["cert_rate"] = round(cert_rate, 4)
             row["gap_bound_p50"] = round(gap_p50, 4)
