@@ -548,6 +548,7 @@ def mol_ivf_top_k(
     nprobe: int,
     user_ids: Optional[jnp.ndarray] = None,
     cand_chunk: int = 8192,
+    pool_budget_bytes: int = 2 << 30,
 ):
     """IVF probe + exact-MoL rerank (the TPU IVFFlat two-pass).
 
@@ -565,9 +566,50 @@ def mol_ivf_top_k(
     cand = ivf_candidates(
         model, params, ivf, query_embeddings, nprobe, user_ids=user_ids
     )
-    return tk.dedup_rerank_top_k(
-        model, params, state, query_embeddings, cand, k, user_ids,
-        cand_chunk=cand_chunk,
+    # Large-probe pools next to multi-GB fused tables must not pregather
+    # the whole (B, C) candidate pool at once: at 8M items / nprobe=128
+    # the gathered columns are ~6 GB beside 8.7 GB of tables (the measured
+    # r5 frontier OOM). Split the rerank over query sub-batches, chained
+    # with an optimization_barrier so XLA cannot overlap the sub-pools.
+    b, c = cand.shape
+    ft = state.fused_tables
+    splits = 1
+    if ft is not None:
+        m, d, _ = ft.item_comp_t.shape
+        l = ft.item_partial_t.shape[0] if ft.item_partial_t is not None else 0
+        per_bc = m * d * ft.item_comp_t.dtype.itemsize + 4 * (l + m + 1)
+        pool_bytes = b * c * per_bc
+        budget = pool_budget_bytes
+        while (
+            splits < b and b % (splits * 2) == 0
+            and pool_bytes // splits > budget
+        ):
+            splits *= 2
+    if splits == 1:
+        return tk.dedup_rerank_top_k(
+            model, params, state, query_embeddings, cand, k, user_ids,
+            cand_chunk=cand_chunk,
+        )
+    rows = b // splits
+    outs = []
+    q_chain = query_embeddings
+    for s in range(0, b, rows):
+        qe = jax.lax.slice_in_dim(q_chain, s, s + rows, axis=0)
+        uid = (
+            jax.lax.slice_in_dim(user_ids, s, s + rows, axis=0)
+            if user_ids is not None else None
+        )
+        cand_s = jax.lax.slice_in_dim(cand, s, s + rows, axis=0)
+        r = tk.dedup_rerank_top_k(
+            model, params, state, qe, cand_s, k, uid, cand_chunk=cand_chunk,
+        )
+        outs.append(r)
+        q_chain = jax.lax.optimization_barrier(
+            (query_embeddings, r.scores)
+        )[0]
+    return tk.TopKResult(
+        scores=jnp.concatenate([r.scores for r in outs], axis=0),
+        ids=jnp.concatenate([r.ids for r in outs], axis=0),
     )
 
 

@@ -1588,6 +1588,13 @@ def _naive_candidates(
     kk = min(k_per_group, corpus_chunk)
     per_chunk_v = []
     per_chunk_i = []
+    # `q_chain` threads a scheduling dependency from each chunk's top_k back
+    # into the NEXT chunk's matmul. Without it XLA batches all unrolled
+    # matmuls ahead of the sorts and keeps every chunk's (B, P_Q, P_X, C)
+    # f32 sims buffer live at once — 62 x 512 MB = 31.5 GB at 8M items
+    # (the measured r5 frontier OOM); the barrier serializes the chunks so
+    # the buffers are reused and peak transient HBM is one chunk's worth.
+    q_chain = q_comp
     for ci in range(num_chunks):
         start_nom = ci * corpus_chunk
         start = min(start_nom, x - corpus_chunk)
@@ -1601,12 +1608,13 @@ def _naive_candidates(
                 >= (start_nom - start)
             )
         sims = _chunk_component_sims(
-            state, q_comp, start, corpus_chunk
+            state, q_chain, start, corpus_chunk
         )                                      # (B, P_Q, P_X, C)
         sims = jnp.where(col_ok[None, None, None, :], sims, NEG_PAD)
         v, i = jax.lax.top_k(sims, kk)         # (B, P_Q, P_X, kk)
         per_chunk_v.append(v.reshape(b, -1, kk))
         per_chunk_i.append((i + start).reshape(b, -1, kk))
+        q_chain = jax.lax.optimization_barrier((q_comp, v))[0]
     v_all = jnp.concatenate(per_chunk_v, axis=2)   # (B, P_Q*P_X, nc*kk)
     i_all = jnp.concatenate(per_chunk_i, axis=2)
     vv, pos = jax.lax.top_k(v_all, k_per_group)

@@ -177,6 +177,30 @@ class TestQuery:
             np.asarray(got.scores), np.asarray(want.scores), rtol=5e-2, atol=5e-2
         )
 
+    def test_query_batch_split_parity(self, trained):
+        """A forced query-batch split (pool_budget_bytes=1) must reproduce
+        the unsplit rerank bit-exactly — the split is pure scheduling (the
+        8M/nprobe=128 OOM fix), never a semantic change."""
+        cfg, ds, model, params, batches = trained
+        state = _state(model, params, ds, build_fused=True, fused_only=True)
+        ivf = build_ivf_index(
+            state.avg_component, state.item_ids, nlist=12, num_iters=5,
+            chunk=128,
+        )
+        state = state._replace(ivf=ivf)
+        q, uids = _query_embeddings(model, params, ds, batches)
+        want = mol_ivf_top_k(
+            model, params, state, q, 15, nprobe=6, user_ids=uids
+        )
+        got = mol_ivf_top_k(
+            model, params, state, q, 15, nprobe=6, user_ids=uids,
+            pool_budget_bytes=1,
+        )
+        np.testing.assert_array_equal(np.asarray(got.ids), np.asarray(want.ids))
+        np.testing.assert_array_equal(
+            np.asarray(got.scores), np.asarray(want.scores)
+        )
+
     def test_mol_centroid_means_exact(self, trained):
         """comp/gating centroids == manual per-bucket means, for both the
         standard and fused(-int8) table layouts (n-major gating order)."""
